@@ -1,0 +1,403 @@
+"""Host-side scene construction — the ``commands.spawn`` analogue.
+
+Builds the fixed-capacity SoA ``World`` from Python-level body/collider/joint
+descriptions (reference spawn path: SURVEY.md §3.2). Mass properties are
+auto-computed from collider shape + density unless overridden, mirroring the
+reference's ``MassPropertyPlugin`` (``mass_properties/mod.rs:256-341``).
+
+Everything here is numpy on the host; the result is a device pytree.
+"""
+
+import math as _math
+
+import numpy as np
+import jax.numpy as jnp
+
+from avian_tpu.core.state import World
+from avian_tpu.core.types import BodyType, JointType, ShapeType
+from avian_tpu.geometry import shapes as shapes_m
+from avian_tpu.math import sym3
+
+_INF = float("inf")
+
+
+def _quat_np(q):
+    q = np.asarray(q, np.float32)
+    return q / max(float(np.linalg.norm(q)), 1e-12)
+
+
+class SceneBuilder:
+    """Accumulates bodies/colliders/joints, then ``finalize()``s to a World."""
+
+    def __init__(self):
+        self._bodies = []
+        self._colliders = []
+        self._joints = []
+        self.gravity = (0.0, -9.81, 0.0)
+
+    # ------------------------------------------------------------------
+    def add_body(
+        self,
+        body_type: BodyType = BodyType.DYNAMIC,
+        pos=(0.0, 0.0, 0.0),
+        quat=(0.0, 0.0, 0.0, 1.0),
+        lin_vel=(0.0, 0.0, 0.0),
+        ang_vel=(0.0, 0.0, 0.0),
+        mass: float | None = None,
+        inertia=None,  # length-3 principal diagonal or sym6, local frame
+        com=None,
+        gravity_scale: float = 1.0,
+        lin_damping: float = 0.0,
+        ang_damping: float = 0.0,
+        max_lin_speed: float = _INF,
+        max_ang_speed: float = _INF,
+        dominance: int = 0,
+        locked_axes: int = 0,
+        gyroscopic: bool = False,
+        sleep_disabled: bool = False,
+    ) -> int:
+        """Returns the body index."""
+        self._bodies.append(
+            dict(
+                body_type=int(body_type),
+                pos=np.asarray(pos, np.float32),
+                quat=_quat_np(quat),
+                lin_vel=np.asarray(lin_vel, np.float32),
+                ang_vel=np.asarray(ang_vel, np.float32),
+                mass=mass,
+                inertia=inertia,
+                com=com,
+                gravity_scale=gravity_scale,
+                lin_damping=lin_damping,
+                ang_damping=ang_damping,
+                max_lin_speed=max_lin_speed,
+                max_ang_speed=max_ang_speed,
+                dominance=dominance,
+                locked_axes=locked_axes,
+                gyroscopic=gyroscopic,
+                sleep_disabled=sleep_disabled,
+            )
+        )
+        return len(self._bodies) - 1
+
+    # ------------------------------------------------------------------
+    def add_collider(
+        self,
+        body: int,
+        shape: ShapeType,
+        params,
+        local_pos=(0.0, 0.0, 0.0),
+        local_quat=(0.0, 0.0, 0.0, 1.0),
+        friction: float = 0.5,
+        restitution: float = 0.0,
+        friction_combine: int = 0,
+        restitution_combine: int = 0,
+        density: float = 1.0,
+        layer_members: int = 0xFFFFFFFF,
+        layer_filter: int = 0xFFFFFFFF,
+        is_sensor: bool = False,
+        collision_margin: float = 0.0,
+        speculative_margin: float = _INF,
+    ) -> int:
+        p = np.zeros(4, np.float32)
+        pa = np.asarray(params, np.float32).reshape(-1)
+        p[: pa.shape[0]] = pa
+        self._colliders.append(
+            dict(
+                body=body,
+                shape=int(shape),
+                params=p,
+                local_pos=np.asarray(local_pos, np.float32),
+                local_quat=_quat_np(local_quat),
+                friction=friction,
+                restitution=restitution,
+                friction_combine=friction_combine,
+                restitution_combine=restitution_combine,
+                density=density,
+                layer_members=layer_members,
+                layer_filter=layer_filter,
+                is_sensor=is_sensor,
+                collision_margin=collision_margin,
+                speculative_margin=speculative_margin,
+            )
+        )
+        return len(self._colliders) - 1
+
+    # Convenience constructors mirroring the reference's Collider API.
+    def sphere(self, body, radius, **kw):
+        return self.add_collider(body, ShapeType.SPHERE, (radius,), **kw)
+
+    def box(self, body, hx, hy, hz, **kw):
+        return self.add_collider(body, ShapeType.BOX, (hx, hy, hz), **kw)
+
+    def cuboid(self, body, x_len, y_len, z_len, **kw):
+        return self.box(body, x_len / 2, y_len / 2, z_len / 2, **kw)
+
+    def capsule(self, body, radius, length, **kw):
+        return self.add_collider(body, ShapeType.CAPSULE, (length / 2, radius), **kw)
+
+    def half_space(self, body, normal=(0.0, 1.0, 0.0), **kw):
+        n = np.asarray(normal, np.float32)
+        n = n / max(float(np.linalg.norm(n)), 1e-12)
+        return self.add_collider(body, ShapeType.PLANE, tuple(n), **kw)
+
+    def cylinder(self, body, radius, height, **kw):
+        return self.add_collider(body, ShapeType.CYLINDER, (height / 2, radius), **kw)
+
+    # ------------------------------------------------------------------
+    def add_joint(
+        self,
+        jtype: JointType,
+        body_a: int,
+        body_b: int,
+        anchor_a=(0.0, 0.0, 0.0),
+        anchor_b=(0.0, 0.0, 0.0),
+        basis_a=(0.0, 0.0, 0.0, 1.0),
+        basis_b=(0.0, 0.0, 0.0, 1.0),
+        compliance=(0.0, 0.0, 0.0, 0.0),
+        limit_min: float = 0.0,
+        limit_max: float = 0.0,
+        limit_enabled: bool = False,
+        lin_damping: float = 0.0,
+        ang_damping: float = 0.0,
+        collision_disabled: bool = True,
+    ) -> int:
+        self._joints.append(
+            dict(
+                jtype=int(jtype),
+                body_a=body_a,
+                body_b=body_b,
+                anchor_a=np.asarray(anchor_a, np.float32),
+                anchor_b=np.asarray(anchor_b, np.float32),
+                basis_a=_quat_np(basis_a),
+                basis_b=_quat_np(basis_b),
+                compliance=np.asarray(compliance, np.float32),
+                limit_min=limit_min,
+                limit_max=limit_max,
+                limit_enabled=limit_enabled,
+                lin_damping=lin_damping,
+                ang_damping=ang_damping,
+                collision_disabled=collision_disabled,
+            )
+        )
+        return len(self._joints) - 1
+
+    def revolute_joint(self, body_a, body_b, axis=(0.0, 0.0, 1.0), **kw):
+        """Hinge about ``axis`` (expressed in both local frames via basis).
+
+        The hinge axis is the basis frames' local Z rotated into each body.
+        With identity bases the axis must be given here and is encoded as a
+        basis rotating Z onto it.
+        """
+        basis = _quat_from_z_to(np.asarray(axis, np.float32))
+        kw.setdefault("basis_a", basis)
+        kw.setdefault("basis_b", basis)
+        return self.add_joint(JointType.REVOLUTE, body_a, body_b, **kw)
+
+    # ------------------------------------------------------------------
+    def finalize(
+        self,
+        max_bodies: int | None = None,
+        max_colliders: int | None = None,
+        max_contacts: int | None = None,
+        max_joints: int | None = None,
+    ) -> World:
+        nb = len(self._bodies)
+        nc = len(self._colliders)
+        nj = len(self._joints)
+        n = max_bodies or max(nb, 1)
+        m = max_colliders or max(nc, 1)
+        c = max_contacts or max(8 * m, 64)
+        j = max_joints or max(nj, 1)
+        assert nb <= n and nc <= m and nj <= j
+        assert m <= 46340, "pair keys use i32 = a * M + b; M must be <= 46340"
+
+        world = World.zeros(n, m, c, j)
+
+        # ---- colliders -------------------------------------------------
+        col = {k: [] for k in (
+            "shape_type", "params", "body_idx", "local_pos", "local_quat",
+            "friction", "restitution", "friction_combine",
+            "restitution_combine", "density", "layer_members", "layer_filter",
+            "is_sensor", "collision_margin", "speculative_margin")}
+        for cd in self._colliders:
+            col["shape_type"].append(cd["shape"])
+            col["params"].append(cd["params"])
+            col["body_idx"].append(cd["body"])
+            col["local_pos"].append(cd["local_pos"])
+            col["local_quat"].append(cd["local_quat"])
+            for k in ("friction", "restitution", "friction_combine",
+                      "restitution_combine", "density", "layer_members",
+                      "layer_filter", "is_sensor", "collision_margin",
+                      "speculative_margin"):
+                col[k].append(cd[k])
+
+        def _pad(arr, total, fill=0.0):
+            a = np.asarray(arr)
+            pad_shape = (total - a.shape[0],) + a.shape[1:]
+            return np.concatenate([a, np.full(pad_shape, fill, a.dtype)], 0)
+
+        if nc:
+            colliders = world.colliders.replace(
+                shape_type=jnp.asarray(_pad(np.asarray(col["shape_type"], np.int32), m)),
+                params=jnp.asarray(_pad(np.asarray(col["params"], np.float32), m)),
+                body_idx=jnp.asarray(_pad(np.asarray(col["body_idx"], np.int32), m)),
+                local_pos=jnp.asarray(_pad(np.asarray(col["local_pos"], np.float32), m)),
+                local_quat=jnp.asarray(_pad(np.asarray(col["local_quat"], np.float32), m)),
+                friction=jnp.asarray(_pad(np.asarray(col["friction"], np.float32), m)),
+                restitution=jnp.asarray(_pad(np.asarray(col["restitution"], np.float32), m)),
+                friction_combine=jnp.asarray(_pad(np.asarray(col["friction_combine"], np.int32), m)),
+                restitution_combine=jnp.asarray(_pad(np.asarray(col["restitution_combine"], np.int32), m)),
+                density=jnp.asarray(_pad(np.asarray(col["density"], np.float32), m, 1.0)),
+                layer_members=jnp.asarray(_pad(np.asarray(col["layer_members"], np.uint32), m)),
+                layer_filter=jnp.asarray(_pad(np.asarray(col["layer_filter"], np.uint32), m)),
+                is_sensor=jnp.asarray(_pad(np.asarray(col["is_sensor"], bool), m, False)),
+                active=jnp.asarray(np.arange(m) < nc),
+                collision_margin=jnp.asarray(_pad(np.asarray(col["collision_margin"], np.float32), m)),
+                speculative_margin=jnp.asarray(_pad(np.asarray(col["speculative_margin"], np.float32), m, _INF)),
+            )
+        else:
+            colliders = world.colliders
+
+        # ---- bodies ----------------------------------------------------
+        # Auto mass properties: accumulate collider contributions per body.
+        auto_mass = np.zeros(n, np.float32)
+        auto_first_moment = np.zeros((n, 3), np.float32)  # sum m_i * com_i
+        auto_inertia = np.zeros((n, 6), np.float32)  # about body origin
+        if nc:
+            st = np.asarray(col["shape_type"], np.int32)
+            pr = np.asarray(col["params"], np.float32)
+            dens = np.asarray(col["density"], np.float32)
+            cm, ci6, _ = shapes_m.mass_properties(
+                jnp.asarray(st), jnp.asarray(pr), jnp.asarray(dens)
+            )
+            cm = np.asarray(cm)
+            ci6 = np.asarray(ci6)
+            for k, cd in enumerate(self._colliders):
+                b = cd["body"]
+                lp = cd["local_pos"]
+                # TODO: rotate collider inertia by local_quat (identity for
+                # the primitive set whose inertia is axis-aligned anyway).
+                i6 = np.asarray(
+                    shapes_m.shift_inertia(
+                        jnp.asarray(ci6[k]), jnp.asarray(cm[k]), jnp.asarray(lp)
+                    )
+                )
+                auto_mass[b] += cm[k]
+                auto_first_moment[b] += cm[k] * lp
+                auto_inertia[b] += i6
+
+        arr = {k: [] for k in (
+            "pos", "quat", "lin_vel", "ang_vel", "inv_mass", "inv_inertia",
+            "com", "gravity_scale", "lin_damping", "ang_damping",
+            "max_lin_speed", "max_ang_speed", "dominance", "body_type",
+            "locked_axes", "gyroscopic", "sleep_disabled")}
+        for i, bd in enumerate(self._bodies):
+            arr["pos"].append(bd["pos"])
+            arr["quat"].append(bd["quat"])
+            arr["lin_vel"].append(bd["lin_vel"])
+            arr["ang_vel"].append(bd["ang_vel"])
+            dynamic = bd["body_type"] == BodyType.DYNAMIC
+            mass = bd["mass"] if bd["mass"] is not None else float(auto_mass[i])
+            if bd["com"] is not None:
+                com = np.asarray(bd["com"], np.float32)
+            elif auto_mass[i] > 0:
+                com = auto_first_moment[i] / auto_mass[i]
+            else:
+                com = np.zeros(3, np.float32)
+            if bd["inertia"] is not None:
+                it = np.asarray(bd["inertia"], np.float32)
+                i6 = (
+                    np.concatenate([it, np.zeros(3, np.float32)])
+                    if it.shape == (3,)
+                    else it
+                )
+            else:
+                # Shift from body origin to COM.
+                i6 = np.asarray(
+                    shapes_m.shift_inertia(
+                        jnp.asarray(auto_inertia[i]),
+                        jnp.asarray(-auto_mass[i]),
+                        jnp.asarray(com),
+                    )
+                )
+            if dynamic and mass > 0:
+                inv_mass = 1.0 / mass
+                inv_i6 = np.asarray(sym3.inverse_or_zero(jnp.asarray(i6)))
+            else:
+                inv_mass = 0.0
+                inv_i6 = np.zeros(6, np.float32)
+            arr["inv_mass"].append(inv_mass)
+            arr["inv_inertia"].append(inv_i6)
+            arr["com"].append(com)
+            for k in ("gravity_scale", "lin_damping", "ang_damping",
+                      "max_lin_speed", "max_ang_speed", "dominance",
+                      "body_type", "locked_axes", "gyroscopic",
+                      "sleep_disabled"):
+                arr[k].append(bd[k])
+
+        if nb:
+            bodies = world.bodies.replace(
+                pos=jnp.asarray(_pad(np.asarray(arr["pos"], np.float32), n)),
+                quat=jnp.asarray(_pad(np.asarray(arr["quat"], np.float32), n)).at[nb:, 3].set(1.0),
+                lin_vel=jnp.asarray(_pad(np.asarray(arr["lin_vel"], np.float32), n)),
+                ang_vel=jnp.asarray(_pad(np.asarray(arr["ang_vel"], np.float32), n)),
+                inv_mass=jnp.asarray(_pad(np.asarray(arr["inv_mass"], np.float32), n)),
+                inv_inertia=jnp.asarray(_pad(np.asarray(arr["inv_inertia"], np.float32), n)),
+                com=jnp.asarray(_pad(np.asarray(arr["com"], np.float32), n)),
+                gravity_scale=jnp.asarray(_pad(np.asarray(arr["gravity_scale"], np.float32), n, 1.0)),
+                lin_damping=jnp.asarray(_pad(np.asarray(arr["lin_damping"], np.float32), n)),
+                ang_damping=jnp.asarray(_pad(np.asarray(arr["ang_damping"], np.float32), n)),
+                max_lin_speed=jnp.asarray(_pad(np.asarray(arr["max_lin_speed"], np.float32), n, _INF)),
+                max_ang_speed=jnp.asarray(_pad(np.asarray(arr["max_ang_speed"], np.float32), n, _INF)),
+                dominance=jnp.asarray(_pad(np.asarray(arr["dominance"], np.int32), n)),
+                body_type=jnp.asarray(_pad(np.asarray(arr["body_type"], np.int32), n)),
+                active=jnp.asarray(np.arange(n) < nb),
+                locked_axes=jnp.asarray(_pad(np.asarray(arr["locked_axes"], np.int32), n)),
+                gyroscopic=jnp.asarray(_pad(np.asarray(arr["gyroscopic"], bool), n, False)),
+                sleep_disabled=jnp.asarray(_pad(np.asarray(arr["sleep_disabled"], bool), n, False)),
+            )
+        else:
+            bodies = world.bodies
+
+        # ---- joints ----------------------------------------------------
+        joints = world.joints
+        if nj:
+            joints = joints.replace(
+                jtype=jnp.asarray(_pad(np.asarray([jd["jtype"] for jd in self._joints], np.int32), j)),
+                body_a=jnp.asarray(_pad(np.asarray([jd["body_a"] for jd in self._joints], np.int32), j)),
+                body_b=jnp.asarray(_pad(np.asarray([jd["body_b"] for jd in self._joints], np.int32), j)),
+                active=jnp.asarray(np.arange(j) < nj),
+                frame_pos_a=jnp.asarray(_pad(np.asarray([jd["anchor_a"] for jd in self._joints], np.float32), j)),
+                frame_pos_b=jnp.asarray(_pad(np.asarray([jd["anchor_b"] for jd in self._joints], np.float32), j)),
+                frame_quat_a=jnp.asarray(_pad(np.asarray([jd["basis_a"] for jd in self._joints], np.float32), j)).at[nj:, 3].set(1.0),
+                frame_quat_b=jnp.asarray(_pad(np.asarray([jd["basis_b"] for jd in self._joints], np.float32), j)).at[nj:, 3].set(1.0),
+                compliance=jnp.asarray(_pad(np.asarray([jd["compliance"] for jd in self._joints], np.float32), j)),
+                limit_min=jnp.asarray(_pad(np.asarray([jd["limit_min"] for jd in self._joints], np.float32), j)),
+                limit_max=jnp.asarray(_pad(np.asarray([jd["limit_max"] for jd in self._joints], np.float32), j)),
+                limit_enabled=jnp.asarray(_pad(np.asarray([jd["limit_enabled"] for jd in self._joints], bool), j, False)),
+                lin_damping=jnp.asarray(_pad(np.asarray([jd["lin_damping"] for jd in self._joints], np.float32), j)),
+                ang_damping=jnp.asarray(_pad(np.asarray([jd["ang_damping"] for jd in self._joints], np.float32), j)),
+                collision_disabled=jnp.asarray(_pad(np.asarray([jd["collision_disabled"] for jd in self._joints], bool), j, False)),
+            )
+
+        return world.replace(
+            bodies=bodies,
+            colliders=colliders,
+            joints=joints,
+            gravity=jnp.asarray(self.gravity, jnp.float32),
+        )
+
+
+def _quat_from_z_to(axis):
+    """Quaternion rotating local +Z onto ``axis`` (numpy, host-side)."""
+    axis = axis / max(float(np.linalg.norm(axis)), 1e-12)
+    z = np.array([0.0, 0.0, 1.0], np.float32)
+    c = float(np.dot(z, axis))
+    if c > 1.0 - 1e-8:
+        return np.array([0.0, 0.0, 0.0, 1.0], np.float32)
+    if c < -1.0 + 1e-8:
+        return np.array([1.0, 0.0, 0.0, 0.0], np.float32)  # 180 deg about X
+    v = np.cross(z, axis)
+    s = _math.sqrt((1.0 + c) * 2.0)
+    return np.array([v[0] / s, v[1] / s, v[2] / s, s / 2.0], np.float32)

@@ -1,0 +1,83 @@
+"""Static (trace-time) configuration.
+
+Counterpart of the reference's compile-time features + runtime resources that
+are fixed per simulation (``SolverConfig`` ``src/dynamics/solver/plugin.rs:216-302``,
+``NarrowPhaseConfig`` ``src/collision/narrow_phase/mod.rs:203-255``,
+``SubstepCount`` ``src/dynamics/solver/schedule.rs:185-191``).
+
+Everything here is hashable and passed as a static argument to ``jax.jit`` —
+changing a value triggers a recompile, exactly like toggling a cargo feature
+rebuilds the reference. Per-scene *dynamic* knobs (gravity, material tables)
+live in the ``World`` pytree instead.
+"""
+
+from dataclasses import dataclass, field, replace
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """Contact solver tuning. Defaults mirror the reference's
+    ``SolverConfig::default`` (``plugin.rs:291-302``)."""
+
+    contact_damping_ratio: float = 10.0
+    contact_frequency_factor: float = 1.5
+    max_overlap_solve_speed: float = 4.0
+    warm_start_coefficient: float = 1.0
+    restitution_threshold: float = 1.0
+    restitution_iterations: int = 1
+
+    def replace(self, **kw):
+        return replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class NarrowPhaseConfig:
+    """Narrowphase tuning. Defaults mirror ``NarrowPhaseConfig``
+    (``narrow_phase/mod.rs:203-245``): unbounded speculative margin,
+    contact tolerance 0.005 * length_unit, contact matching on."""
+
+    default_speculative_margin: float = float("inf")
+    contact_tolerance: float = 0.005
+    match_contacts: bool = True
+    # Warm-start positional match threshold when feature ids are unknown
+    # (0.1 * length_unit, reference ``system_param.rs:788``).
+    match_distance: float = 0.1
+
+
+@dataclass(frozen=True)
+class PhysicsConfig:
+    """Top-level static physics configuration.
+
+    Capacities are *not* stored here — they are implied by the World's array
+    shapes (static under jit either way).
+    """
+
+    dt: float = 1.0 / 60.0
+    substeps: int = 6  # SubstepCount default (solver/schedule.rs:185-191)
+    length_unit: float = 1.0  # PhysicsLengthUnit (plugin.rs:160-207)
+    solver: SolverConfig = field(default_factory=SolverConfig)
+    narrow_phase: NarrowPhaseConfig = field(default_factory=NarrowPhaseConfig)
+
+    # --- TPU-native scheduling knobs (no reference counterpart) ---
+    # Maximum constraint-graph colors; edges that don't fit fall into the
+    # final color, solved with a masked Jacobi-style update. The reference
+    # uses 24 greedy colors + a serial overflow color
+    # (``constraint_graph.rs:39-48``).
+    max_colors: int = 8
+    # Sweep-and-prune candidate window: after sorting colliders by AABB min-x,
+    # each collider is tested against the next `sap_window` colliders. Wider
+    # windows cost compute; overlaps beyond the window are missed (counted in
+    # diagnostics as dropped pairs).
+    sap_window: int = 32
+    # Sleeping thresholds (rigid_body/sleeping.rs:84-97, :149-152).
+    sleep_linear_threshold: float = 0.15
+    sleep_angular_threshold: float = 0.15
+    time_to_sleep: float = 0.5
+    sleeping_enabled: bool = True
+
+    @property
+    def substep_dt(self) -> float:
+        return self.dt / self.substeps
+
+    def replace(self, **kw):
+        return replace(self, **kw)

@@ -1,0 +1,362 @@
+"""Analytic primitive-pair contact manifolds (3D), vectorized over pairs.
+
+TPU-native replacement for Parry's ``contact_manifolds`` dispatcher that the
+reference delegates all narrowphase math to
+(``src/collision/collider/parry/contact_query.rs:156-261``). Every pair
+function is branch-free (masks/selects instead of control flow) and returns a
+fixed-size 4-point manifold, so the whole pair buffer evaluates as one fused
+vector program under ``vmap``.
+
+Conventions:
+- Poses are world (pos, quat) of the *collider* (body pose composed with the
+  collider's local offset upstream).
+- ``normal`` points from shape A toward shape B (matches the reference's
+  manifold convention, ``contact/normal_part.rs:60``).
+- ``separation`` is negative when penetrating (= -penetration).
+- Pair functions are written for canonical type order ``type_a <= type_b``
+  (so e.g. the plane is always shape B); the dispatcher swaps and flips.
+"""
+
+from dataclasses import dataclass, fields
+
+import jax
+import jax.numpy as jnp
+
+from avian_tpu.core.types import ShapeType
+from avian_tpu.math import quat as quat_m
+from avian_tpu.math import vec
+
+MAX_POINTS = 4
+_X = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
+
+
+def _register(cls):
+    jax.tree_util.register_dataclass(
+        cls, data_fields=[f.name for f in fields(cls)], meta_fields=[]
+    )
+    return cls
+
+
+@_register
+@dataclass(frozen=True)
+class Manifold:
+    """A fixed-capacity contact manifold for one collider pair."""
+
+    normal: jnp.ndarray      # f32[3] world, from A to B
+    point_a: jnp.ndarray     # f32[4, 3] world point on A's surface
+    point_b: jnp.ndarray     # f32[4, 3] world point on B's surface
+    separation: jnp.ndarray  # f32[4] (negative = penetration)
+    feature_id: jnp.ndarray  # i32[4] stable id for warm-start matching
+    count: jnp.ndarray       # i32[] number of valid points
+
+
+def _empty() -> Manifold:
+    return Manifold(
+        normal=_X,
+        point_a=jnp.zeros((4, 3), jnp.float32),
+        point_b=jnp.zeros((4, 3), jnp.float32),
+        separation=jnp.full((4,), 1e9, jnp.float32),
+        feature_id=jnp.zeros((4,), jnp.int32),
+        count=jnp.zeros((), jnp.int32),
+    )
+
+
+def _one_point(normal, pa, pb, sep, fid=0) -> Manifold:
+    m = _empty()
+    return Manifold(
+        normal=normal,
+        point_a=m.point_a.at[0].set(pa),
+        point_b=m.point_b.at[0].set(pb),
+        separation=m.separation.at[0].set(sep),
+        feature_id=m.feature_id.at[0].set(fid),
+        count=jnp.ones((), jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pair functions. Each takes (pos_a, quat_a, params_a, pos_b, quat_b,
+# params_b) -> Manifold. Written for a single pair; vmapped by the caller.
+# ---------------------------------------------------------------------------
+
+
+def sphere_sphere(pa, qa, prm_a, pb, qb, prm_b) -> Manifold:
+    ra, rb = prm_a[0], prm_b[0]
+    d = pb - pa
+    dist = vec.length(d)
+    n = vec.normalize_or(d, _X)
+    return _one_point(n, pa + n * ra, pb - n * rb, dist - (ra + rb))
+
+
+def sphere_capsule(pa, qa, prm_a, pb, qb, prm_b) -> Manifold:
+    ra = prm_a[0]
+    hb, rb = prm_b[0], prm_b[1]
+    axis = quat_m.rotate(qb, jnp.asarray([0.0, 1.0, 0.0], jnp.float32))
+    # Closest point on B's segment to the sphere center.
+    t = jnp.clip(jnp.dot(pa - pb, axis), -hb, hb)
+    c = pb + axis * t
+    d = c - pa
+    dist = vec.length(d)
+    n = vec.normalize_or(d, _X)
+    return _one_point(n, pa + n * ra, c - n * rb, dist - (ra + rb))
+
+
+def capsule_capsule(pa, qa, prm_a, pb, qb, prm_b) -> Manifold:
+    ha, ra = prm_a[0], prm_a[1]
+    hb, rb = prm_b[0], prm_b[1]
+    ua = quat_m.rotate(qa, jnp.asarray([0.0, 1.0, 0.0], jnp.float32))
+    ub = quat_m.rotate(qb, jnp.asarray([0.0, 1.0, 0.0], jnp.float32))
+    s, t = _closest_segment_segment(pa, ua, ha, pb, ub, hb)
+    ca = pa + ua * s
+    cb = pb + ub * t
+    d = cb - ca
+    dist = vec.length(d)
+    n = vec.normalize_or(d, _X)
+    m1 = _one_point(n, ca + n * ra, cb - n * rb, dist - (ra + rb))
+
+    # Parallel capsules: add a second point to support stable lying-down
+    # stacking (Parry produces a 2-point manifold there too).
+    parallel = jnp.abs(jnp.dot(ua, ub)) > 0.999
+    # Project B's segment onto A's axis, take overlap interval endpoints.
+    tb0 = jnp.dot((pb - ub * hb) - pa, ua)
+    tb1 = jnp.dot((pb + ub * hb) - pa, ua)
+    lo = jnp.maximum(-ha, jnp.minimum(tb0, tb1))
+    hi = jnp.minimum(ha, jnp.maximum(tb0, tb1))
+    has_overlap = parallel & (hi > lo)
+    mid0, mid1 = lo, hi
+    ca0 = pa + ua * mid0
+    ca1 = pa + ua * mid1
+    # Perpendicular offset from A's axis to B's axis.
+    perp = (pb - pa) - ua * jnp.dot(pb - pa, ua)
+    pdist = vec.length(perp)
+    np_ = vec.normalize_or(perp, vec.any_orthonormal(ua))
+    sep_par = pdist - (ra + rb)
+    m2 = Manifold(
+        normal=np_,
+        point_a=m1.point_a.at[0].set(ca0 + np_ * ra).at[1].set(ca1 + np_ * ra),
+        point_b=m1.point_b.at[0].set(ca0 + perp - np_ * rb).at[1].set(
+            ca1 + perp - np_ * rb
+        ),
+        separation=m1.separation.at[0].set(sep_par).at[1].set(sep_par),
+        feature_id=m1.feature_id.at[0].set(1).at[1].set(2),
+        count=jnp.asarray(2, jnp.int32),
+    )
+    return jax.tree.map(
+        lambda a, b: jnp.where(has_overlap, b, a), m1, m2
+    )
+
+
+def _closest_segment_segment(pa, ua, ha, pb, ub, hb):
+    """Closest points parameters (s, t) between segments ``pa + ua*s`` and
+    ``pb + ub*t`` with s in [-ha, ha], t in [-hb, hb]. Ericson RTCD 5.1.9,
+    branch-free."""
+    r = pa - pb
+    a = 1.0  # dot(ua, ua)
+    e = 1.0  # dot(ub, ub)
+    b = jnp.dot(ua, ub)
+    c = jnp.dot(ua, r)
+    f = jnp.dot(ub, r)
+    denom = a * e - b * b  # >= 0
+    s = jnp.where(denom > 1e-9, jnp.clip((b * f - c * e) / jnp.maximum(denom, 1e-9), -ha, ha), 0.0)
+    t = (b * s + f) / e
+    t_cl = jnp.clip(t, -hb, hb)
+    s = jnp.clip((b * t_cl - c) / a, -ha, ha)
+    return s, t_cl
+
+
+def sphere_box(pa, qa, prm_a, pb, qb, prm_b) -> Manifold:
+    """Sphere A vs box B."""
+    ra = prm_a[0]
+    h = prm_b[:3]
+    c_local = quat_m.rotate_inv(qb, pa - pb)
+    q = jnp.clip(c_local, -h, h)
+    delta = c_local - q
+    d2 = vec.length_sq(delta)
+    outside = d2 > 1e-12
+
+    # Outside: normal from box surface toward sphere center.
+    dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
+    n_out = delta / dist
+
+    # Inside: push out along the axis of least penetration.
+    face_dist = h - jnp.abs(c_local)  # >= 0 inside
+    ax = jnp.argmin(face_dist)
+    sign = jnp.where(c_local[ax] >= 0.0, 1.0, -1.0)
+    n_in = jnp.zeros(3, jnp.float32).at[ax].set(sign)
+    depth_in = face_dist[ax]
+
+    n_local = jnp.where(outside, n_out, n_in)
+    sep = jnp.where(outside, dist - ra, -(depth_in + ra))
+    q_surf = jnp.where(outside, q, c_local + n_in * depth_in)
+
+    n_world = quat_m.rotate(qb, n_local)  # points from box toward sphere
+    normal = -n_world  # from A (sphere) toward B (box)
+    p_on_sphere = pa + normal * ra
+    p_on_box = pb + quat_m.rotate(qb, q_surf)
+    return _one_point(normal, p_on_sphere, p_on_box, sep)
+
+
+def sphere_plane(pa, qa, prm_a, pb, qb, prm_b) -> Manifold:
+    """Sphere A vs half-space B (plane local normal in prm_b[:3])."""
+    ra = prm_a[0]
+    n = quat_m.rotate(qb, prm_b[:3])  # outward plane normal
+    s = jnp.dot(pa - pb, n)
+    sep = s - ra
+    normal = -n  # from sphere toward the plane
+    return _one_point(normal, pa + normal * ra, pa - n * s, sep)
+
+
+def capsule_plane(pa, qa, prm_a, pb, qb, prm_b) -> Manifold:
+    ha, ra = prm_a[0], prm_a[1]
+    n = quat_m.rotate(qb, prm_b[:3])
+    axis = quat_m.rotate(qa, jnp.asarray([0.0, 1.0, 0.0], jnp.float32))
+    e0 = pa - axis * ha
+    e1 = pa + axis * ha
+    s0 = jnp.dot(e0 - pb, n) - ra
+    s1 = jnp.dot(e1 - pb, n) - ra
+    normal = -n
+    m = _empty()
+    pa0 = e0 + normal * ra
+    pa1 = e1 + normal * ra
+    return Manifold(
+        normal=normal,
+        point_a=m.point_a.at[0].set(pa0).at[1].set(pa1),
+        point_b=m.point_b.at[0].set(pa0 - n * s0).at[1].set(pa1 - n * s1),
+        separation=m.separation.at[0].set(s0).at[1].set(s1),
+        feature_id=m.feature_id.at[0].set(0).at[1].set(1),
+        count=jnp.asarray(2, jnp.int32),
+    )
+
+
+_BOX_CORNERS = jnp.asarray(
+    [
+        [-1.0, -1.0, -1.0],
+        [1.0, -1.0, -1.0],
+        [-1.0, 1.0, -1.0],
+        [1.0, 1.0, -1.0],
+        [-1.0, -1.0, 1.0],
+        [1.0, -1.0, 1.0],
+        [-1.0, 1.0, 1.0],
+        [1.0, 1.0, 1.0],
+    ],
+    jnp.float32,
+)
+
+
+def box_plane(pa, qa, prm_a, pb, qb, prm_b) -> Manifold:
+    """Box A vs half-space B: the 4 deepest corners below the plane."""
+    h = prm_a[:3]
+    n = quat_m.rotate(qb, prm_b[:3])
+    corners = pa + quat_m.rotate(qa[None, :], _BOX_CORNERS * h[None, :])
+    seps = jnp.sum(corners * n[None, :], axis=-1) - jnp.dot(pb, n)
+    # Take the 4 smallest separations (deepest), deterministic order.
+    order = jnp.argsort(seps)
+    idx = order[:4]
+    sep4 = seps[idx]
+    p4 = corners[idx]
+    normal = -n
+    return Manifold(
+        normal=normal,
+        point_a=p4,
+        point_b=p4 - n[None, :] * sep4[:, None],
+        separation=sep4,
+        feature_id=idx.astype(jnp.int32),
+        count=jnp.asarray(4, jnp.int32),
+    )
+
+
+def capsule_box(pa, qa, prm_a, pb, qb, prm_b) -> Manifold:
+    """Capsule A vs box B: sample the capsule segment's two endpoints plus
+    the segment-closest point against the box (3 sphere-box queries sharing
+    the deepest normal). Robust for resting/leaning capsules."""
+    ha, ra = prm_a[0], prm_a[1]
+    axis = quat_m.rotate(qa, jnp.asarray([0.0, 1.0, 0.0], jnp.float32))
+    e0 = pa - axis * ha
+    e1 = pa + axis * ha
+
+    sph = jnp.asarray([ra, 0.0, 0.0, 0.0], jnp.float32)
+    m0 = sphere_box(e0, qa, sph, pb, qb, prm_b)
+    m1 = sphere_box(e1, qa, sph, pb, qb, prm_b)
+
+    deepest = jnp.where(m0.separation[0] <= m1.separation[0], 0, 1)
+    normal = jnp.where(deepest == 0, m0.normal, m1.normal)
+    m = _empty()
+    return Manifold(
+        normal=normal,
+        point_a=m.point_a.at[0].set(m0.point_a[0]).at[1].set(m1.point_a[0]),
+        point_b=m.point_b.at[0].set(m0.point_b[0]).at[1].set(m1.point_b[0]),
+        separation=m.separation.at[0]
+        .set(m0.separation[0])
+        .at[1]
+        .set(m1.separation[0]),
+        feature_id=m.feature_id.at[0].set(0).at[1].set(1),
+        count=jnp.asarray(2, jnp.int32),
+    )
+
+
+# box_box lives in its own module (SAT + clipping).
+from avian_tpu.geometry.box_box import box_box  # noqa: E402
+
+
+def _swapped(fn):
+    def wrapper(pa, qa, prm_a, pb, qb, prm_b):
+        m = fn(pb, qb, prm_b, pa, qa, prm_a)
+        return Manifold(
+            normal=-m.normal,
+            point_a=m.point_b,
+            point_b=m.point_a,
+            separation=m.separation,
+            feature_id=m.feature_id,
+            count=m.count,
+        )
+
+    return wrapper
+
+
+def _unsupported(pa, qa, prm_a, pb, qb, prm_b) -> Manifold:
+    return _empty()
+
+
+# Dispatch table over (type_a, type_b) for the supported primitive set.
+# Entries are filled for canonical order and mirrored with _swapped.
+_TABLE = {}
+
+
+def _reg(ta, tb, fn):
+    _TABLE[(int(ta), int(tb))] = fn
+    if ta != tb:
+        _TABLE[(int(tb), int(ta))] = _swapped(fn)
+
+
+_reg(ShapeType.SPHERE, ShapeType.SPHERE, sphere_sphere)
+_reg(ShapeType.SPHERE, ShapeType.CAPSULE, sphere_capsule)
+_reg(ShapeType.SPHERE, ShapeType.BOX, sphere_box)
+_reg(ShapeType.SPHERE, ShapeType.PLANE, sphere_plane)
+_reg(ShapeType.CAPSULE, ShapeType.CAPSULE, capsule_capsule)
+_reg(ShapeType.CAPSULE, ShapeType.BOX, capsule_box)
+_reg(ShapeType.CAPSULE, ShapeType.PLANE, capsule_plane)
+_reg(ShapeType.BOX, ShapeType.BOX, box_box)
+_reg(ShapeType.BOX, ShapeType.PLANE, box_plane)
+
+_NUM_DISPATCH_TYPES = 4  # sphere, capsule, box, plane for now
+
+
+def compute_manifold(type_a, pa, qa, prm_a, type_b, pb, qb, prm_b) -> Manifold:
+    """Shape-pair dispatch for one pair (vmap over the pair buffer).
+
+    Uses ``lax.switch`` over the flattened (type_a, type_b) code. Under vmap
+    this evaluates all branches and selects — acceptable because each branch
+    is small; pairs-bucketed-by-type dispatch is a later optimization.
+    """
+    branches = []
+    for ta in range(_NUM_DISPATCH_TYPES):
+        for tb in range(_NUM_DISPATCH_TYPES):
+            fn = _TABLE.get((ta, tb), _unsupported)
+            branches.append(
+                lambda args, fn=fn: fn(*args)
+            )
+    code = jnp.clip(
+        type_a * _NUM_DISPATCH_TYPES + type_b,
+        0,
+        _NUM_DISPATCH_TYPES * _NUM_DISPATCH_TYPES - 1,
+    )
+    return jax.lax.switch(code, branches, (pa, qa, prm_a, pb, qb, prm_b))

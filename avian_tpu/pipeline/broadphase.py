@@ -1,0 +1,232 @@
+"""Broadphase: sort-based sweep-and-prune into a fixed-capacity pair buffer.
+
+TPU-native re-design of the reference's x-axis sweep-and-prune
+(``src/collision/broad_phase.rs:373-474``): instead of an insertion-sorted
+interval list with serial pair emission, we
+
+1. sort colliders by AABB min-x (XLA sort — deterministic),
+2. test each collider against the next ``sap_window`` colliders in sorted
+   order (windowed candidate generation, all pairs at once on the VPU),
+3. compact valid candidates into the fixed contact-pair buffer with a
+   validity-keyed sort (the deterministic replacement for serial pair
+   creation, SURVEY.md §2c item 4).
+
+Colliders with unbounded AABBs (half-spaces) are excluded from the sweep and
+paired densely against everything in a separate pass, so a ground plane
+doesn't blow up the sweep window.
+
+Pair filtering matches the reference: layer masks (``layers.rs:423``), both
+bodies non-dynamic, self-pairs within one body, sensor handling, and
+joint-disabled contacts (``broad_phase.rs:417-439``).
+"""
+
+from dataclasses import dataclass, fields
+
+import jax
+import jax.numpy as jnp
+
+from avian_tpu.core import types
+from avian_tpu.core.config import PhysicsConfig
+from avian_tpu.core.state import World
+from avian_tpu.geometry import shapes
+from avian_tpu.math import quat as quat_m
+
+MAX_GLOBALS = 8  # max colliders with unbounded AABBs (ground planes etc.)
+
+
+def _register(cls):
+    jax.tree_util.register_dataclass(
+        cls, data_fields=[f.name for f in fields(cls)], meta_fields=[]
+    )
+    return cls
+
+
+@_register
+@dataclass(frozen=True)
+class BroadPhaseResult:
+    """Candidate collider pairs, compacted into C slots (C = contact cap)."""
+
+    collider_a: jnp.ndarray  # i32[C]
+    collider_b: jnp.ndarray  # i32[C]
+    pair_key: jnp.ndarray    # i32[C]; -1 for empty slots
+    valid: jnp.ndarray       # bool[C]
+    num_pairs: jnp.ndarray   # i32[]
+    dropped: jnp.ndarray     # i32[] candidates that didn't fit in C slots
+
+
+def update_collider_poses(world: World):
+    """World pose of each collider = body pose ∘ local offset."""
+    col = world.colliders
+    b = world.bodies
+    bq = b.quat[col.body_idx]
+    bp = b.pos[col.body_idx]
+    pos = bp + quat_m.rotate(bq, col.local_pos)
+    quat = quat_m.mul(bq, col.local_quat)
+    return pos, quat
+
+
+def update_aabbs(world: World, config: PhysicsConfig) -> World:
+    """Compute world AABBs, expanded for speculative contacts
+    (reference ``update_aabb``, ``backend.rs:498``)."""
+    col = world.colliders
+    b = world.bodies
+    pos, quat = update_collider_poses(world)
+    lo, hi = shapes.world_aabb(col.shape_type, col.params, pos, quat)
+
+    # Symmetric speculative expansion by clamped |v|*dt + margins.
+    v = b.lin_vel[col.body_idx]
+    speed = jnp.linalg.norm(v, axis=-1)
+    spec = jnp.minimum(
+        col.speculative_margin,
+        jnp.full_like(speed, config.narrow_phase.default_speculative_margin),
+    )
+    expand = (
+        jnp.minimum(speed * config.dt, spec)
+        + col.collision_margin
+        + config.narrow_phase.contact_tolerance * config.length_unit
+    )
+    e = expand[:, None]
+    return world.replace(
+        colliders=col.replace(aabb_min=lo - e, aabb_max=hi + e)
+    )
+
+
+def _pair_filters(world: World, ca, cb):
+    """Shared pair predicate: layers, activity, same-body, both-non-dynamic,
+    joint-disabled."""
+    col = world.colliders
+    b = world.bodies
+    ba = col.body_idx[ca]
+    bb = col.body_idx[cb]
+
+    both_active = col.active[ca] & col.active[cb]
+    diff_body = ba != bb
+    layers_ok = (
+        ((col.layer_members[ca] & col.layer_filter[cb]) > 0)
+        & ((col.layer_members[cb] & col.layer_filter[ca]) > 0)
+    )
+    dyn_a = (b.body_type[ba] == types.BodyType.DYNAMIC) & b.active[ba]
+    dyn_b = (b.body_type[bb] == types.BodyType.DYNAMIC) & b.active[bb]
+    some_dynamic = dyn_a | dyn_b
+
+    # Joint-disabled contacts: any active joint between the two bodies with
+    # collision_disabled. O(J) per pair is too much; instead build a small
+    # key set of disabled body pairs and probe it (J is small).
+    j = world.joints
+    jka = jnp.minimum(j.body_a, j.body_b)
+    jkb = jnp.maximum(j.body_a, j.body_b)
+    n_bodies = b.capacity
+    jkey = jnp.where(
+        j.active & j.collision_disabled, jka * n_bodies + jkb, -1
+    )
+    pka = jnp.minimum(ba, bb)
+    pkb = jnp.maximum(ba, bb)
+    pkey = pka * n_bodies + pkb
+    joint_disabled = jnp.any(pkey[:, None] == jkey[None, :], axis=-1)
+
+    return both_active & diff_body & layers_ok & some_dynamic & ~joint_disabled
+
+
+def broad_phase(world: World, config: PhysicsConfig) -> BroadPhaseResult:
+    col = world.colliders
+    m = col.capacity
+    c_cap = world.contacts.capacity
+    w = min(config.sap_window, max(m - 1, 1))
+
+    is_global = (col.aabb_max[:, 0] - col.aabb_min[:, 0]) > shapes.BIG
+    in_sweep = col.active & ~is_global
+
+    # ---- sweep and prune over min-x ----------------------------------
+    sort_key = jnp.where(in_sweep, col.aabb_min[:, 0], jnp.inf)
+    order = jnp.argsort(sort_key)  # stable -> deterministic
+    s_min = col.aabb_min[order]
+    s_max = col.aabb_max[order]
+    s_ok = in_sweep[order]
+
+    # Candidate (i, i+k) for k in 1..w over sorted order.
+    def window_pairs(k):
+        i = jnp.arange(m)
+        jdx = jnp.minimum(i + k, m - 1)
+        a = order
+        b_ = order[jdx]
+        x_overlap = s_min[jdx, 0] <= s_max[:, 0]
+        yz_overlap = jnp.all(
+            (s_min[jdx, 1:] <= s_max[:, 1:])
+            & (s_min[:, 1:] <= s_max[jdx, 1:]),
+            axis=-1,
+        )
+        ok = (i + k < m) & s_ok & s_ok[jdx] & x_overlap & yz_overlap
+        return a, b_, ok
+
+    cand_a = []
+    cand_b = []
+    cand_ok = []
+    for k in range(1, w + 1):
+        a, b_, ok = window_pairs(k)
+        cand_a.append(a)
+        cand_b.append(b_)
+        cand_ok.append(ok)
+
+    # ---- dense pass vs global colliders (planes) ----------------------
+    g_score = jnp.where(is_global & col.active, 1, 0)
+    g_idx = jnp.argsort(-g_score)[:MAX_GLOBALS]
+    g_valid = g_score[g_idx] > 0
+    for gi in range(MAX_GLOBALS):
+        g = g_idx[gi]
+        a = jnp.arange(m)
+        b_ = jnp.full((m,), 0, jnp.int32) + g
+        ok = (
+            g_valid[gi]
+            & col.active
+            & (a != g)
+            # Avoid double-emitting global-global pairs.
+            & (~is_global | (a < g))
+            & jnp.all(
+                (col.aabb_min[g][None, :] <= col.aabb_max)
+                & (col.aabb_min <= col.aabb_max[g][None, :]),
+                axis=-1,
+            )
+        )
+        cand_a.append(a)
+        cand_b.append(b_)
+        cand_ok.append(ok)
+
+    ca = jnp.concatenate(cand_a)
+    cb = jnp.concatenate(cand_b)
+    ok = jnp.concatenate(cand_ok)
+
+    ok = ok & _pair_filters(world, ca, cb)
+
+    # Canonical order (a < b) and pair key.
+    lo = jnp.minimum(ca, cb)
+    hi = jnp.maximum(ca, cb)
+    key = jnp.where(ok, lo * m + hi, jnp.iinfo(jnp.int32).max)
+
+    # Deterministic compaction: sort by key, take the first c_cap.
+    # Sorting by key also dedupes adjacent duplicates cheaply.
+    sort_idx = jnp.argsort(key)
+    key_s = key[sort_idx]
+    dup = jnp.concatenate(
+        [jnp.zeros((1,), bool), key_s[1:] == key_s[:-1]]
+    )
+    key_s = jnp.where(dup, jnp.iinfo(jnp.int32).max, key_s)
+    # Re-sort to push dropped duplicates to the end.
+    resort = jnp.argsort(key_s)
+    key_f = key_s[resort][:c_cap]
+    valid = key_f != jnp.iinfo(jnp.int32).max
+    a_f = (key_f // m).astype(jnp.int32)
+    b_f = (key_f % m).astype(jnp.int32)
+    a_f = jnp.where(valid, a_f, 0)
+    b_f = jnp.where(valid, b_f, 0)
+
+    total_valid = jnp.sum((key_s != jnp.iinfo(jnp.int32).max).astype(jnp.int32))
+    num = jnp.sum(valid.astype(jnp.int32))
+
+    return BroadPhaseResult(
+        collider_a=a_f,
+        collider_b=b_f,
+        pair_key=jnp.where(valid, key_f, -1),
+        valid=valid,
+        num_pairs=num,
+        dropped=total_valid - num,
+    )

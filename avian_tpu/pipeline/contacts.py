@@ -1,0 +1,193 @@
+"""Narrowphase driver: persistent pair matching, manifolds, warm-start carry.
+
+Mirrors the reference's ``NarrowPhase::update``
+(``src/collision/narrow_phase/system_param.rs:114,437-830``):
+
+- match this step's broadphase pairs against the previous step's persistent
+  contact buffer by pair key (the graph's ``PairKey`` lookup becomes a
+  sorted-key binary search over the old buffer),
+- compute fresh manifolds per pair (``geometry.narrowphase``),
+- per-point contact matching by feature id, falling back to anchor distance
+  (``contact_types/mod.rs:426-472``), carrying warm-start impulses,
+- apply the speculative-margin keep predicate
+  (``system_param.rs:663-756``),
+- combine materials (``physics_material.rs:13-46``).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from avian_tpu.core import types
+from avian_tpu.core.config import PhysicsConfig
+from avian_tpu.core.state import Contacts, World, MAX_POINTS
+from avian_tpu.geometry.narrowphase import compute_manifold
+from avian_tpu.math import quat as quat_m
+from avian_tpu.pipeline.broadphase import BroadPhaseResult, update_collider_poses
+
+
+def _combine(val_a, val_b, rule_a, rule_b):
+    """CoefficientCombine with higher-priority rule winning
+    (``physics_material.rs:13-46``)."""
+    rule = jnp.maximum(rule_a, rule_b)
+    avg = 0.5 * (val_a + val_b)
+    geo = jnp.sqrt(jnp.maximum(val_a * val_b, 0.0))
+    mn = jnp.minimum(val_a, val_b)
+    mul = val_a * val_b
+    mx = jnp.maximum(val_a, val_b)
+    return jnp.select(
+        [
+            rule == types.CoefficientCombine.AVERAGE,
+            rule == types.CoefficientCombine.GEOMETRIC_MEAN,
+            rule == types.CoefficientCombine.MIN,
+            rule == types.CoefficientCombine.MULTIPLY,
+            rule == types.CoefficientCombine.MAX,
+        ],
+        [avg, geo, mn, mul, mx],
+        default=avg,
+    )
+
+
+def narrow_phase(
+    world: World, bp: BroadPhaseResult, config: PhysicsConfig
+) -> Contacts:
+    """Build this step's Contacts buffer from broadphase pairs + old buffer."""
+    old = world.contacts
+    col = world.colliders
+    b = world.bodies
+    c_cap = old.capacity
+
+    ca, cb = bp.collider_a, bp.collider_b
+    ba = col.body_idx[ca]
+    bb = col.body_idx[cb]
+
+    # ---- manifolds -----------------------------------------------------
+    pos, quat = update_collider_poses(world)
+    manifolds = jax.vmap(compute_manifold)(
+        col.shape_type[ca], pos[ca], quat[ca], col.params[ca],
+        col.shape_type[cb], pos[cb], quat[cb], col.params[cb],
+    )
+
+    # ---- effective speculative margin (system_param.rs:663-682) --------
+    dt = config.dt
+    spec_default = config.narrow_phase.default_speculative_margin
+
+    def clamped_vel(body_idx, collider_idx):
+        v = b.lin_vel[body_idx]
+        spec = jnp.minimum(col.speculative_margin[collider_idx], spec_default)
+        speed = jnp.linalg.norm(v, axis=-1)
+        scale = jnp.minimum(1.0, spec / jnp.maximum(speed * dt, 1e-9))
+        return v * scale[:, None]
+
+    v_rel = clamped_vel(bb, cb) - clamped_vel(ba, ca)
+    margin = dt * jnp.linalg.norm(v_rel, axis=-1)
+    tol = config.narrow_phase.contact_tolerance * config.length_unit
+    keep_dist = (
+        jnp.maximum(margin, tol)
+        + col.collision_margin[ca]
+        + col.collision_margin[cb]
+    )
+
+    # Keep points within the speculative distance (system_param.rs:753-756).
+    point_in_range = manifolds.separation < keep_dist[:, None]
+    point_idx_ok = (
+        jnp.arange(MAX_POINTS)[None, :] < manifolds.count[:, None]
+    )
+    point_valid = point_in_range & point_idx_ok & bp.valid[:, None]
+
+    # Compact valid points to the front of each manifold (so the
+    # "first num_points" invariant holds downstream).
+    order = jnp.argsort(~point_valid, axis=1, stable=True)
+    take = lambda arr: jnp.take_along_axis(arr, order, axis=1)
+    sep = take(manifolds.separation)
+    fid = take(manifolds.feature_id)
+    p_a = jnp.take_along_axis(manifolds.point_a, order[..., None], axis=1)
+    p_b = jnp.take_along_axis(manifolds.point_b, order[..., None], axis=1)
+    num_points = jnp.sum(point_valid.astype(jnp.int32), axis=1)
+    touching = (num_points > 0) & bp.valid
+
+    # Anchors relative to each body's world COM, fixed for the substep loop
+    # (``contact/mod.rs:167-170``).
+    com_a = b.pos[ba] + quat_m.rotate(b.quat[ba], b.com[ba])
+    com_b = b.pos[bb] + quat_m.rotate(b.quat[bb], b.com[bb])
+    anchor_a = p_a - com_a[:, None, :]
+    anchor_b = p_b - com_b[:, None, :]
+
+    # ---- pair-level persistence (warm-start carry) ----------------------
+    # Find each new pair's slot in the old buffer via sorted-key search.
+    old_order = jnp.argsort(old.pair_key)
+    old_keys_sorted = old.pair_key[old_order]
+    loc = jnp.searchsorted(old_keys_sorted, bp.pair_key)
+    loc = jnp.clip(loc, 0, c_cap - 1)
+    old_slot = old_order[loc]
+    matched = (old.pair_key[old_slot] == bp.pair_key) & (bp.pair_key >= 0)
+
+    was_touching = jnp.where(matched, old.touching[old_slot], False)
+
+    # ---- per-point warm-start matching ----------------------------------
+    # For each new point, find an old point with the same feature id; fall
+    # back to anchor-distance matching (contact_types/mod.rs:426-472).
+    old_fid = old.feature_id[old_slot]          # [C, P]
+    old_anchor = old.anchor_a[old_slot]         # [C, P, 3]
+    old_np = old.normal_impulse[old_slot]       # [C, P]
+    old_tp = old.tangent_impulse[old_slot]      # [C, P, 2]
+    old_valid = (
+        jnp.arange(MAX_POINTS)[None, :] < old.num_points[old_slot][:, None]
+    ) & matched[:, None]
+
+    fid_match = (fid[:, :, None] == old_fid[:, None, :]) & old_valid[:, None, :]
+    d2 = jnp.sum(
+        (anchor_a[:, :, None, :] - old_anchor[:, None, :, :]) ** 2, axis=-1
+    )
+    dist_thresh = (config.narrow_phase.match_distance * config.length_unit) ** 2
+    dist_match = (d2 < dist_thresh) & old_valid[:, None, :]
+    use_match = jnp.where(
+        jnp.any(fid_match, axis=-1, keepdims=True), fid_match, dist_match
+    )
+    # Pick the first matching old point (deterministic).
+    score = jnp.where(use_match, -d2, -jnp.inf)
+    best = jnp.argmax(score, axis=-1)
+    has_match = jnp.any(use_match, axis=-1) & (
+        jnp.asarray(config.narrow_phase.match_contacts)
+    )
+    gather_p = lambda arr: jnp.take_along_axis(arr, best, axis=1)
+    warm_np = jnp.where(has_match, gather_p(old_np), 0.0)
+    warm_tp = jnp.where(
+        has_match[..., None],
+        jnp.take_along_axis(old_tp, best[..., None], axis=1),
+        0.0,
+    )
+
+    # ---- materials -------------------------------------------------------
+    friction = _combine(
+        col.friction[ca], col.friction[cb],
+        col.friction_combine[ca], col.friction_combine[cb],
+    )
+    restitution = _combine(
+        col.restitution[ca], col.restitution[cb],
+        col.restitution_combine[ca], col.restitution_combine[cb],
+    )
+
+    is_sensor = col.is_sensor[ca] | col.is_sensor[cb]
+
+    return Contacts(
+        pair_key=bp.pair_key,
+        collider_a=ca,
+        collider_b=cb,
+        body_a=ba,
+        body_b=bb,
+        active=bp.valid,
+        touching=touching,
+        was_touching=was_touching,
+        is_sensor=is_sensor,
+        normal=manifolds.normal,
+        num_points=num_points,
+        anchor_a=anchor_a,
+        anchor_b=anchor_b,
+        penetration=-sep,
+        feature_id=fid,
+        normal_impulse=warm_np,
+        tangent_impulse=warm_tp,
+        max_normal_impulse=jnp.zeros_like(warm_np),
+        friction=friction,
+        restitution=restitution,
+    )

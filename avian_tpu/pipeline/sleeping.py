@@ -1,0 +1,109 @@
+"""Island-based sleeping as a pure per-step computation.
+
+Re-design of the reference's persistent islands + deferred sleep/wake
+commands (``src/dynamics/solver/islands/``): instead of maintaining an
+incremental union-find with merge/split events, we recompute island labels
+each step with label propagation + pointer jumping over the contact/joint
+adjacency (SURVEY.md §2c item 5), and derive sleep state declaratively:
+
+- a body's sleep timer accumulates while both velocities are below the
+  thresholds (``rigid_body/sleeping.rs:84-97``), else resets;
+- an island sleeps iff *every* body in it has timer >= TimeToSleep
+  (``islands/sleeping.rs:184-280``) — so any new fast contact (including a
+  moving kinematic body) joining the island wakes everyone, which reproduces
+  the reference's wake-on-contact behavior without an event system.
+
+Sleeping bodies get zeroed velocities and are masked out of integration and
+impulse response by ``solver_body.prepare``.
+"""
+
+import jax.numpy as jnp
+
+from avian_tpu.core import types
+from avian_tpu.core.config import PhysicsConfig
+from avian_tpu.core.state import Bodies, Contacts, Joints
+
+_LABEL_ROUNDS = 16  # 1-hop relax + pointer jumping per round
+
+
+def compute_islands(bodies: Bodies, contacts: Contacts, joints: Joints):
+    """i32[N] island label (min body index in the connected component).
+
+    Edges: touching non-sensor contacts and active joints, between
+    non-static bodies. Static bodies never join islands (they'd merge
+    everything through the ground).
+    """
+    n = bodies.capacity
+    non_static = bodies.active & (bodies.body_type != types.BodyType.STATIC)
+
+    ca = contacts.body_a
+    cb = contacts.body_b
+    c_ok = (
+        contacts.active
+        & contacts.touching
+        & ~contacts.is_sensor
+        & non_static[ca]
+        & non_static[cb]
+    )
+    ja = joints.body_a
+    jb = joints.body_b
+    j_ok = joints.active & non_static[ja] & non_static[jb]
+
+    ea = jnp.concatenate([ca, ja])
+    eb = jnp.concatenate([cb, jb])
+    e_ok = jnp.concatenate([c_ok, j_ok])
+
+    label = jnp.arange(n, dtype=jnp.int32)
+    big = jnp.asarray(n, jnp.int32)
+
+    for _ in range(_LABEL_ROUNDS):
+        la = jnp.where(e_ok, label[ea], big)
+        lb = jnp.where(e_ok, label[eb], big)
+        m = jnp.minimum(la, lb)
+        label = label.at[ea].min(jnp.where(e_ok, m, big))
+        label = label.at[eb].min(jnp.where(e_ok, m, big))
+        # Pointer jumping: labels are body indices, so chase one level.
+        label = jnp.minimum(label, label[label])
+    return label
+
+
+def update_sleeping(
+    bodies: Bodies, contacts: Contacts, joints: Joints, config: PhysicsConfig
+) -> Bodies:
+    if not config.sleeping_enabled:
+        return bodies.replace(island=compute_islands(bodies, contacts, joints))
+
+    n = bodies.capacity
+    lin_t = config.sleep_linear_threshold * config.length_unit
+    ang_t = config.sleep_angular_threshold
+
+    below = (
+        (jnp.sum(bodies.lin_vel**2, axis=-1) < lin_t * lin_t)
+        & (jnp.sum(bodies.ang_vel**2, axis=-1) < ang_t * ang_t)
+        & ~bodies.sleep_disabled
+    )
+    timer = jnp.where(below, bodies.sleep_timer + config.dt, 0.0)
+
+    island = compute_islands(bodies, contacts, joints)
+
+    # An island can sleep iff all its non-static members are sleep-ready.
+    ready = timer >= config.time_to_sleep
+    considered = bodies.active & (bodies.body_type != types.BodyType.STATIC)
+    all_ready = jnp.ones((n,), bool).at[island].min(
+        jnp.where(considered, ready, True)
+    )
+    sleep = considered & all_ready[island] & (
+        bodies.body_type == types.BodyType.DYNAMIC
+    )
+
+    woke = bodies.sleeping & ~sleep
+    timer = jnp.where(woke, 0.0, timer)
+
+    z3 = jnp.zeros_like(bodies.lin_vel)
+    return bodies.replace(
+        sleeping=sleep,
+        sleep_timer=timer,
+        island=island,
+        lin_vel=jnp.where(sleep[:, None], z3, bodies.lin_vel),
+        ang_vel=jnp.where(sleep[:, None], z3, bodies.ang_vel),
+    )

@@ -1,0 +1,120 @@
+"""One physics step: the jittable ``step(world, config) -> world``.
+
+Staged exactly like the reference's ``PhysicsSchedule``/``SubstepSchedule``
+(SURVEY.md §3.1):
+
+broadphase -> narrowphase -> prepare (solver bodies, velocity increments,
+contact constraints, coloring) -> ``lax.scan`` over substeps
+[integrate velocities -> warm start -> biased solve -> integrate positions ->
+relax solve -> XPBD joints -> joint damping] -> restitution -> writeback ->
+store impulses -> sleeping.
+
+Batch thousands of scenes with ``jax.vmap(physics_step, in_axes=(0, None))``
+and shard over a TPU mesh with ``avian_tpu.parallel``.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from avian_tpu.core.config import PhysicsConfig
+from avian_tpu.core.state import World
+from avian_tpu.pipeline import broadphase as bp_m
+from avian_tpu.pipeline import contacts as np_m
+from avian_tpu.pipeline import integrator as int_m
+from avian_tpu.pipeline import sleeping as sleep_m
+from avian_tpu.pipeline import solver as sol_m
+from avian_tpu.pipeline import solver_body as sb_m
+from avian_tpu.pipeline import xpbd as xpbd_m
+
+
+@partial(jax.jit, static_argnames=("config", "return_diagnostics"))
+def physics_step(
+    world: World, config: PhysicsConfig, return_diagnostics: bool = False
+):
+    """Advance the world by ``config.dt`` seconds."""
+    h = config.substep_dt
+
+    # ---- collision detection -------------------------------------------
+    world = bp_m.update_aabbs(world, config)
+    bp = bp_m.broad_phase(world, config)
+    contacts = np_m.narrow_phase(world, bp, config)
+
+    # ---- prepare ---------------------------------------------------------
+    s = sb_m.prepare(world.bodies)
+    inc = int_m.pre_process_velocity_increments(
+        world.bodies, world.gravity, h
+    )
+    con = sol_m.prepare_constraints(world, contacts, s, config)
+    jcon = xpbd_m.prepare_joints(world, s, config)
+
+    # ---- substep loop ----------------------------------------------------
+    def substep(carry, _):
+        s, con, jcon = carry
+        s = int_m.integrate_velocities(s, inc, world.bodies, h)
+        s = int_m.clamp_velocities(s, world.bodies)
+        s = sol_m.warm_start(s, con, config)
+        s, con = sol_m.solve_pass(s, con, h, True, config)
+        s = int_m.integrate_positions(s, h)
+        s, con = sol_m.solve_pass(s, con, h, False, config)
+        s, jcon = xpbd_m.solve_joints(s, jcon, world.bodies, h, config)
+        return (s, con, jcon), None
+
+    (s, con, jcon), _ = jax.lax.scan(
+        substep, (s, con, jcon), None, length=config.substeps
+    )
+
+    # ---- finalize ----------------------------------------------------------
+    s, con = sol_m.solve_restitution(s, con, config)
+    contacts = sol_m.store_impulses(contacts, con)
+    joints = xpbd_m.store_joint_forces(world.joints, jcon, config)
+    bodies = sb_m.writeback(world.bodies, s)
+
+    # Clear per-step force/torque accumulators (Forces API semantics:
+    # forces apply for one step, reference ``forces/plugin.rs:96-243``).
+    z3 = jnp.zeros_like(bodies.force)
+    bodies = bodies.replace(force=z3, torque=z3)
+
+    bodies = sleep_m.update_sleeping(bodies, contacts, joints, config)
+
+    new_world = world.replace(
+        bodies=bodies,
+        contacts=contacts,
+        joints=joints,
+        time=world.time + config.dt,
+    )
+
+    if return_diagnostics:
+        diagnostics = {
+            "num_pairs": bp.num_pairs,
+            "dropped_pairs": bp.dropped,
+            "num_touching": jnp.sum(contacts.touching.astype(jnp.int32)),
+            "num_contact_points": jnp.sum(
+                jnp.where(contacts.touching, contacts.num_points, 0)
+            ),
+            "num_sleeping": jnp.sum(bodies.sleeping.astype(jnp.int32)),
+            "max_penetration": jnp.max(
+                jnp.where(
+                    contacts.touching[:, None]
+                    & (
+                        jnp.arange(contacts.penetration.shape[1])[None, :]
+                        < contacts.num_points[:, None]
+                    ),
+                    contacts.penetration,
+                    0.0,
+                )
+            ),
+        }
+        return new_world, diagnostics
+    return new_world
+
+
+def rollout(world: World, config: PhysicsConfig, num_steps: int):
+    """Run ``num_steps`` steps under one ``lax.scan`` (compiled once)."""
+
+    def body(w, _):
+        return physics_step(w, config), None
+
+    final, _ = jax.lax.scan(body, world, None, length=num_steps)
+    return final
