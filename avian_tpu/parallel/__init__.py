@@ -1,0 +1,17 @@
+"""Multi-device scale-out over a TPU mesh."""
+
+from avian_tpu.parallel.sharding import (
+    make_scene_mesh,
+    replicate_world,
+    shard_world,
+    make_batched_step,
+    make_sharded_step,
+)
+
+__all__ = [
+    "make_scene_mesh",
+    "replicate_world",
+    "shard_world",
+    "make_batched_step",
+    "make_sharded_step",
+]

@@ -1,0 +1,134 @@
+"""Benchmark / acceptance scenes mirroring the reference's bench suite and
+examples (``/root/reference/benches/src/``, SURVEY.md §6 and Appendix C)."""
+
+import math
+
+import numpy as np
+
+from avian_tpu.core.builder import SceneBuilder
+from avian_tpu.core.types import BodyType, JointType
+
+
+def cube_pile(
+    n_cubes: int = 1000,
+    half: float = 0.5,
+    spacing: float | None = None,
+    seed: int = 0,
+    max_contacts: int | None = None,
+):
+    """N dynamic cubes arranged in a loose grid above a ground plane
+    (the `cubes` example / BASELINE config 1). Returns (world, ids)."""
+    rng = np.random.default_rng(seed)
+    sp = spacing if spacing is not None else 2.0 * half * 1.1
+    b = SceneBuilder()
+    g = b.add_body(body_type=BodyType.STATIC)
+    b.half_space(g, normal=(0, 1, 0))
+
+    side = max(1, round(n_cubes ** (1.0 / 3.0)))
+    ids = []
+    k = 0
+    y0 = half * 1.2
+    for layer in range(math.ceil(n_cubes / (side * side))):
+        for i in range(side):
+            for j in range(side):
+                if k >= n_cubes:
+                    break
+                jitter = rng.uniform(-0.05, 0.05, size=2) * half
+                body = b.add_body(
+                    pos=(
+                        (i - side / 2) * sp + jitter[0],
+                        y0 + layer * sp,
+                        (j - side / 2) * sp + jitter[1],
+                    )
+                )
+                b.box(body, half, half, half, friction=0.5)
+                ids.append(body)
+                k += 1
+    world = b.finalize(
+        max_bodies=n_cubes + 1,
+        max_colliders=n_cubes + 1,
+        max_contacts=max_contacts or max(8 * n_cubes, 64),
+    )
+    return world, ids
+
+
+def box_pyramid(base: int = 20, half: float = 0.5, dim3_depth: bool = False):
+    """2D-style box pyramid (in the XY plane of a 3D world), the reference's
+    `Large Pyramid` bench scene (``benches/src/dim2/large_pyramid.rs``).
+    base=100 -> 5050 boxes."""
+    b = SceneBuilder()
+    g = b.add_body(body_type=BodyType.STATIC)
+    b.half_space(g, normal=(0, 1, 0))
+    size = 2.0 * half
+    ids = []
+    count = 0
+    for row in range(base):
+        n_in_row = base - row
+        y = half + row * size
+        x0 = -0.5 * n_in_row * size
+        for i in range(n_in_row):
+            body = b.add_body(pos=(x0 + (i + 0.5) * size, y * 1.0001, 0.0))
+            # Lock Z translation + X/Y rotation to emulate a 2D scene.
+            b.box(body, half, half, half, friction=0.6)
+            ids.append(body)
+            count += 1
+    n = count + 1
+    world = b.finalize(
+        max_bodies=n, max_colliders=n, max_contacts=max(8 * n, 64)
+    )
+    return world, ids
+
+
+def joint_chain(n_links: int = 30, jtype: JointType = JointType.SPHERICAL):
+    """Hanging chain of capsule links (the `chain_3d` example)."""
+    b = SceneBuilder()
+    anchor = b.add_body(body_type=BodyType.STATIC, pos=(0, 0, 0))
+    link_len = 0.5
+    r = 0.08
+    prev = anchor
+    ids = []
+    for k in range(n_links):
+        y = -(k + 0.5) * link_len
+        body = b.add_body(pos=(0, y, 0))
+        b.capsule(body, r, link_len - 2 * r)
+        if jtype == JointType.SPHERICAL or jtype == JointType.REVOLUTE:
+            b.add_joint(
+                jtype,
+                prev,
+                body,
+                anchor_a=(0, 0, 0) if prev == anchor else (0, -link_len / 2, 0),
+                anchor_b=(0, link_len / 2, 0),
+            )
+        ids.append(body)
+        prev = body
+    n = n_links + 1
+    world = b.finalize(
+        max_bodies=n,
+        max_colliders=n,
+        max_contacts=max(8 * n, 64),
+        max_joints=n_links,
+    )
+    return world, ids
+
+
+def ccd_stress(n_bullets: int = 32, speed: float = 80.0):
+    """Fast spheres shot at a thin wall (speculative-contact CCD stress,
+    the `ccd` example / BASELINE config 4)."""
+    b = SceneBuilder()
+    wall = b.add_body(body_type=BodyType.STATIC, pos=(5.0, 0.0, 0.0))
+    b.box(wall, 0.05, 10.0, 10.0)
+    g = b.add_body(body_type=BodyType.STATIC, pos=(0, -10.0, 0))
+    b.half_space(g, normal=(0, 1, 0))
+    ids = []
+    for k in range(n_bullets):
+        body = b.add_body(
+            pos=(0.0, (k % 8) * 0.5 - 2.0, (k // 8) * 0.5 - 1.0),
+            lin_vel=(speed, 0.0, 0.0),
+        )
+        b.sphere(body, 0.1, restitution=0.1)
+        ids.append(body)
+    n = n_bullets + 2
+    world = b.finalize(
+        max_bodies=n, max_colliders=n, max_contacts=max(8 * n, 64)
+    )
+    return world, ids

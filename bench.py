@@ -1,0 +1,66 @@
+"""Headline benchmark: body*steps/sec on a cube pile (BASELINE.md metric).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline anchor: the reference's illustrative Large Pyramid 2D number
+(12.29 ms/step for 5050 boxes, 1 thread -> ~0.41M body*steps/sec,
+/root/reference/benches/README.md:31-39). vs_baseline = ours / that.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+N_CUBES = int(os.environ.get("BENCH_CUBES", "10000"))
+N_STEPS = int(os.environ.get("BENCH_STEPS", "100"))
+BASELINE_BODY_STEPS_PER_SEC = 5050 / 12.29e-3  # ~410,903
+
+
+def main():
+    from avian_tpu import PhysicsConfig
+    from avian_tpu.pipeline.step import physics_step, rollout
+    from avian_tpu.scenes import cube_pile
+
+    config = PhysicsConfig()
+    world, ids = cube_pile(n_cubes=N_CUBES, max_contacts=8 * N_CUBES)
+
+    step = jax.jit(lambda w: physics_step(w, config))
+
+    # Warm up: compile + let the pile make contact so we measure the
+    # contact-rich steady state, not free fall.
+    world = step(world)
+    jax.block_until_ready(world.bodies.pos)
+    for _ in range(20):
+        world = step(world)
+    jax.block_until_ready(world.bodies.pos)
+
+    t0 = time.perf_counter()
+    for _ in range(N_STEPS):
+        world = step(world)
+    jax.block_until_ready(world.bodies.pos)
+    elapsed = time.perf_counter() - t0
+
+    steps_per_sec = N_STEPS / elapsed
+    body_steps_per_sec = steps_per_sec * N_CUBES
+    print(
+        json.dumps(
+            {
+                "metric": f"body_steps_per_sec_cube_pile_{N_CUBES}",
+                "value": round(body_steps_per_sec),
+                "unit": "body*steps/sec",
+                "vs_baseline": round(
+                    body_steps_per_sec / BASELINE_BODY_STEPS_PER_SEC, 3
+                ),
+                "ms_per_step": round(1000.0 * elapsed / N_STEPS, 3),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
