@@ -208,7 +208,7 @@ class SceneBuilder:
         n = max_bodies or max(nb, 1)
         m = max_colliders or max(nc, 1)
         c = max_contacts or max(8 * m, 64)
-        j = max_joints or max(nj, 1)
+        j = max_joints if max_joints is not None else nj
         assert nb <= n and nc <= m and nj <= j
         assert m <= 46340, "pair keys use i32 = a * M + b; M must be <= 46340"
 

@@ -73,15 +73,17 @@ def box_box(pa, qa, prm_a, pb, qb, prm_b):
     ref_on_a = best_face_a >= best_face_b - 1e-6
 
     # ====================== FACE MANIFOLD ==============================
-    # Compute both orientations and select (each is cheap vector math).
-    face_a = _face_manifold(rb, t, ha, hb, jnp.argmax(sep_a))
-    # Roles swapped: reference face on B. Work in B's frame.
+    # Select the reference frame's inputs once, then clip once (halves the
+    # face-manifold cost versus computing both orientations).
     rb_T = rb.T
     t_in_b = -vec.mtv3(rb, t)
-    face_b = _face_manifold(rb_T, t_in_b, hb, ha, jnp.argmax(sep_b))
-
-    pts, ref_pts, seps, fids, count, n_local = jax.tree.map(
-        lambda x, y: jnp.where(ref_on_a, x, y), face_a, face_b
+    r_in = jnp.where(ref_on_a, rb, rb_T)
+    t_in = jnp.where(ref_on_a, t, t_in_b)
+    h_ref = jnp.where(ref_on_a, ha, hb)
+    h_inc = jnp.where(ref_on_a, hb, ha)
+    axis_idx = jnp.where(ref_on_a, jnp.argmax(sep_a), jnp.argmax(sep_b))
+    pts, ref_pts, seps, fids, count, n_local = _face_manifold(
+        r_in, t_in, h_ref, h_inc, axis_idx
     )
 
     # To world. For ref_on_a: local frame is A's. Otherwise B's.

@@ -316,47 +316,60 @@ def _unsupported(pa, qa, prm_a, pb, qb, prm_b) -> Manifold:
     return _empty()
 
 
-# Dispatch table over (type_a, type_b) for the supported primitive set.
-# Entries are filled for canonical order and mirrored with _swapped.
-_TABLE = {}
-
-
-def _reg(ta, tb, fn):
-    _TABLE[(int(ta), int(tb))] = fn
-    if ta != tb:
-        _TABLE[(int(tb), int(ta))] = _swapped(fn)
-
-
-_reg(ShapeType.SPHERE, ShapeType.SPHERE, sphere_sphere)
-_reg(ShapeType.SPHERE, ShapeType.CAPSULE, sphere_capsule)
-_reg(ShapeType.SPHERE, ShapeType.BOX, sphere_box)
-_reg(ShapeType.SPHERE, ShapeType.PLANE, sphere_plane)
-_reg(ShapeType.CAPSULE, ShapeType.CAPSULE, capsule_capsule)
-_reg(ShapeType.CAPSULE, ShapeType.BOX, capsule_box)
-_reg(ShapeType.CAPSULE, ShapeType.PLANE, capsule_plane)
-_reg(ShapeType.BOX, ShapeType.BOX, box_box)
-_reg(ShapeType.BOX, ShapeType.PLANE, box_plane)
+# Canonical dispatch table over (type_a <= type_b) pairs. Inputs are
+# canonicalized (swapped) BEFORE the switch so each pair function appears
+# exactly once — under vmap, lax.switch evaluates every branch on the whole
+# pair buffer, so duplicate swapped branches would double the narrowphase
+# cost (box-box in particular).
+_CANONICAL = [
+    (ShapeType.SPHERE, ShapeType.SPHERE, sphere_sphere),
+    (ShapeType.SPHERE, ShapeType.CAPSULE, sphere_capsule),
+    (ShapeType.SPHERE, ShapeType.BOX, sphere_box),
+    (ShapeType.SPHERE, ShapeType.PLANE, sphere_plane),
+    (ShapeType.CAPSULE, ShapeType.CAPSULE, capsule_capsule),
+    (ShapeType.CAPSULE, ShapeType.BOX, capsule_box),
+    (ShapeType.CAPSULE, ShapeType.PLANE, capsule_plane),
+    (ShapeType.BOX, ShapeType.BOX, box_box),
+    (ShapeType.BOX, ShapeType.PLANE, box_plane),
+]
 
 _NUM_DISPATCH_TYPES = 4  # sphere, capsule, box, plane for now
 
+# LUT: canonical (ta, tb) code -> branch index; unsupported -> last branch.
+import numpy as _np
+
+_LUT = _np.full(_NUM_DISPATCH_TYPES * _NUM_DISPATCH_TYPES, len(_CANONICAL), _np.int32)
+for _i, (_ta, _tb, _) in enumerate(_CANONICAL):
+    _LUT[int(_ta) * _NUM_DISPATCH_TYPES + int(_tb)] = _i
+_LUT_J = jnp.asarray(_LUT)
+
 
 def compute_manifold(type_a, pa, qa, prm_a, type_b, pb, qb, prm_b) -> Manifold:
-    """Shape-pair dispatch for one pair (vmap over the pair buffer).
+    """Shape-pair dispatch for one pair (vmap over the pair buffer)."""
+    swap = type_a > type_b
+    ta = jnp.where(swap, type_b, type_a)
+    tb = jnp.where(swap, type_a, type_b)
+    pa_, pb_ = jnp.where(swap, pb, pa), jnp.where(swap, pa, pb)
+    qa_, qb_ = jnp.where(swap, qb, qa), jnp.where(swap, qa, qb)
+    prm_a_, prm_b_ = jnp.where(swap, prm_b, prm_a), jnp.where(swap, prm_a, prm_b)
 
-    Uses ``lax.switch`` over the flattened (type_a, type_b) code. Under vmap
-    this evaluates all branches and selects — acceptable because each branch
-    is small; pairs-bucketed-by-type dispatch is a later optimization.
-    """
-    branches = []
-    for ta in range(_NUM_DISPATCH_TYPES):
-        for tb in range(_NUM_DISPATCH_TYPES):
-            fn = _TABLE.get((ta, tb), _unsupported)
-            branches.append(
-                lambda args, fn=fn: fn(*args)
-            )
-    code = jnp.clip(
-        type_a * _NUM_DISPATCH_TYPES + type_b,
-        0,
-        _NUM_DISPATCH_TYPES * _NUM_DISPATCH_TYPES - 1,
+    branches = [
+        (lambda args, fn=fn: fn(*args)) for (_, _, fn) in _CANONICAL
+    ] + [lambda args: _unsupported(*args)]
+    code = _LUT_J[
+        jnp.clip(
+            ta * _NUM_DISPATCH_TYPES + tb,
+            0,
+            _NUM_DISPATCH_TYPES * _NUM_DISPATCH_TYPES - 1,
+        )
+    ]
+    m = jax.lax.switch(code, branches, (pa_, qa_, prm_a_, pb_, qb_, prm_b_))
+    # Un-swap: flip the normal and exchange witness points.
+    return Manifold(
+        normal=jnp.where(swap, -m.normal, m.normal),
+        point_a=jnp.where(swap, m.point_b, m.point_a),
+        point_b=jnp.where(swap, m.point_a, m.point_b),
+        separation=m.separation,
+        feature_id=m.feature_id,
+        count=m.count,
     )
-    return jax.lax.switch(code, branches, (pa, qa, prm_a, pb, qb, prm_b))

@@ -143,57 +143,46 @@ def broad_phase(world: World, config: PhysicsConfig) -> BroadPhaseResult:
     s_max = col.aabb_max[order]
     s_ok = in_sweep[order]
 
-    # Candidate (i, i+k) for k in 1..w over sorted order.
-    def window_pairs(k):
-        i = jnp.arange(m)
-        jdx = jnp.minimum(i + k, m - 1)
-        a = order
-        b_ = order[jdx]
-        x_overlap = s_min[jdx, 0] <= s_max[:, 0]
-        yz_overlap = jnp.all(
-            (s_min[jdx, 1:] <= s_max[:, 1:])
-            & (s_min[:, 1:] <= s_max[jdx, 1:]),
-            axis=-1,
-        )
-        ok = (i + k < m) & s_ok & s_ok[jdx] & x_overlap & yz_overlap
-        return a, b_, ok
+    # Candidate (i, i+k) for k in 1..w over sorted order — one vectorized
+    # [m, w] computation (no per-k op chains).
+    i2 = jnp.arange(m)[:, None]                       # [m, 1]
+    k2 = jnp.arange(1, w + 1)[None, :]                # [1, w]
+    jdx = jnp.minimum(i2 + k2, m - 1)                 # [m, w]
+    win_a = jnp.broadcast_to(order[:, None], (m, w))
+    win_b = order[jdx]
+    x_overlap = s_min[jdx, 0] <= s_max[:, 0:1]
+    yz_overlap = jnp.all(
+        (s_min[jdx, 1:] <= s_max[:, None, 1:])
+        & (s_min[:, None, 1:] <= s_max[jdx, 1:]),
+        axis=-1,
+    )
+    win_ok = (i2 + k2 < m) & s_ok[:, None] & s_ok[jdx] & x_overlap & yz_overlap
 
-    cand_a = []
-    cand_b = []
-    cand_ok = []
-    for k in range(1, w + 1):
-        a, b_, ok = window_pairs(k)
-        cand_a.append(a)
-        cand_b.append(b_)
-        cand_ok.append(ok)
-
-    # ---- dense pass vs global colliders (planes) ----------------------
+    # ---- dense pass vs global colliders (planes), vectorized [G, m] ----
+    g_cap = min(MAX_GLOBALS, m)
     g_score = jnp.where(is_global & col.active, 1, 0)
-    g_idx = jnp.argsort(-g_score)[:MAX_GLOBALS]
+    g_idx = jnp.argsort(-g_score)[:g_cap]
     g_valid = g_score[g_idx] > 0
-    for gi in range(MAX_GLOBALS):
-        g = g_idx[gi]
-        a = jnp.arange(m)
-        b_ = jnp.full((m,), 0, jnp.int32) + g
-        ok = (
-            g_valid[gi]
-            & col.active
-            & (a != g)
-            # Avoid double-emitting global-global pairs.
-            & (~is_global | (a < g))
-            & jnp.all(
-                (col.aabb_min[g][None, :] <= col.aabb_max)
-                & (col.aabb_min <= col.aabb_max[g][None, :]),
-                axis=-1,
-            )
-        )
-        cand_a.append(a)
-        cand_b.append(b_)
-        cand_ok.append(ok)
+    all_i = jnp.arange(m)
+    glob_a = jnp.broadcast_to(all_i[None, :], (g_cap, m))
+    glob_b = jnp.broadcast_to(g_idx[:, None], (g_cap, m))
+    g_aabb_overlap = jnp.all(
+        (col.aabb_min[g_idx][:, None, :] <= col.aabb_max[None, :, :])
+        & (col.aabb_min[None, :, :] <= col.aabb_max[g_idx][:, None, :]),
+        axis=-1,
+    )
+    glob_ok = (
+        g_valid[:, None]
+        & col.active[None, :]
+        & (glob_a != glob_b)
+        # Avoid double-emitting global-global pairs.
+        & (~is_global[None, :] | (glob_a < glob_b))
+        & g_aabb_overlap
+    )
 
-    ca = jnp.concatenate(cand_a)
-    cb = jnp.concatenate(cand_b)
-    ok = jnp.concatenate(cand_ok)
+    ca = jnp.concatenate([win_a.reshape(-1), glob_a.reshape(-1)])
+    cb = jnp.concatenate([win_b.reshape(-1), glob_b.reshape(-1)])
+    ok = jnp.concatenate([win_ok.reshape(-1), glob_ok.reshape(-1)])
 
     ok = ok & _pair_filters(world, ca, cb)
 

@@ -21,9 +21,10 @@ ground contacts all share one color, like the reference's dedicated
 static-contact colors (``constraint_graph.rs:44-48,179-219``).
 """
 
+import jax
 import jax.numpy as jnp
 
-_INNER_ROUNDS = 4  # MIS refinement rounds per color
+_INNER_ROUNDS = 3  # MIS refinement rounds per color
 
 
 def color_constraints(body_a, body_b, dyn_a, dyn_b, edge_mask, n_bodies, max_colors):
@@ -44,36 +45,39 @@ def color_constraints(body_a, body_b, dyn_a, dyn_b, edge_mask, n_bodies, max_col
     edge_idx = jnp.arange(e, dtype=jnp.int32)
     big = jnp.asarray(e + 1, jnp.int32)
 
+    # Fold both endpoints into one [2E] incidence so each MIS round costs a
+    # single scatter-min / gather / scatter-max instead of two of each.
+    bodies2 = jnp.concatenate([body_a, body_b])
+    dyn2 = jnp.concatenate([dyn_a, dyn_b])
+    edge2 = jnp.concatenate([edge_idx, edge_idx])
+
+    def round_body(r, state):
+        color, uncolored, body_used = state
+        c = r // _INNER_ROUNDS
+        is_new_color = (r % _INNER_ROUNDS) == 0
+        body_used = jnp.where(is_new_color, jnp.zeros_like(body_used), body_used)
+
+        used2 = dyn2 & body_used[bodies2]
+        # Candidate edges: still uncolored, endpoints unused this color.
+        cand = uncolored & ~used2[:e] & ~used2[e:]
+        key2 = jnp.where(
+            jnp.concatenate([cand, cand]) & dyn2, edge2, big
+        )
+        min_inc = jnp.full((n_bodies,), big).at[bodies2].min(key2)
+        ok2 = ~dyn2 | (min_inc[bodies2] == edge2)
+        sel = cand & ok2[:e] & ok2[e:]
+        color = jnp.where(sel, c, color)
+        uncolored = uncolored & ~sel
+        body_used = body_used.at[bodies2].max(
+            jnp.concatenate([sel, sel]) & dyn2
+        )
+        return color, uncolored, body_used
+
     color = jnp.full((e,), max_colors - 1, jnp.int32)
-    uncolored = edge_mask
-
-    for c in range(max_colors - 1):
-        body_used = jnp.zeros((n_bodies,), bool)
-        for _ in range(_INNER_ROUNDS):
-            # Candidate edges: still uncolored, endpoints unused this color.
-            cand = (
-                uncolored
-                & ~(dyn_a & body_used[body_a])
-                & ~(dyn_b & body_used[body_b])
-            )
-            key = jnp.where(cand, edge_idx, big)
-            # Min edge index per body (only dynamic endpoints conflict).
-            min_a = jnp.full((n_bodies,), big).at[body_a].min(
-                jnp.where(dyn_a, key, big)
-            )
-            min_b = jnp.full((n_bodies,), big).at[body_b].min(
-                jnp.where(dyn_b, key, big)
-            )
-            min_inc = jnp.minimum(min_a, min_b)
-            sel = cand & (
-                (~dyn_a | (min_inc[body_a] == edge_idx))
-                & (~dyn_b | (min_inc[body_b] == edge_idx))
-            )
-            color = jnp.where(sel, c, color)
-            uncolored = uncolored & ~sel
-            body_used = (
-                body_used.at[body_a].max(sel & dyn_a).at[body_b].max(sel & dyn_b)
-            )
-
-    is_overflow = uncolored
-    return color, is_overflow
+    color, uncolored, _ = jax.lax.fori_loop(
+        0,
+        (max_colors - 1) * _INNER_ROUNDS,
+        round_body,
+        (color, edge_mask, jnp.zeros((n_bodies,), bool)),
+    )
+    return color, uncolored

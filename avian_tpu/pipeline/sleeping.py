@@ -23,7 +23,9 @@ from avian_tpu.core import types
 from avian_tpu.core.config import PhysicsConfig
 from avian_tpu.core.state import Bodies, Contacts, Joints
 
-_LABEL_ROUNDS = 16  # 1-hop relax + pointer jumping per round
+# 1-hop relax + pointer jumping per round; pointer jumping doubles reach, so
+# 10 rounds cover chains far beyond any practical island diameter.
+_LABEL_ROUNDS = 10
 
 
 def compute_islands(bodies: Bodies, contacts: Contacts, joints: Joints):
@@ -53,18 +55,24 @@ def compute_islands(bodies: Bodies, contacts: Contacts, joints: Joints):
     eb = jnp.concatenate([cb, jb])
     e_ok = jnp.concatenate([c_ok, j_ok])
 
-    label = jnp.arange(n, dtype=jnp.int32)
+    # Fold both edge directions into one incidence: one scatter-min and one
+    # gather per round instead of two of each.
+    src = jnp.concatenate([ea, eb])
+    dst = jnp.concatenate([eb, ea])
+    ok2 = jnp.concatenate([e_ok, e_ok])
     big = jnp.asarray(n, jnp.int32)
 
-    for _ in range(_LABEL_ROUNDS):
-        la = jnp.where(e_ok, label[ea], big)
-        lb = jnp.where(e_ok, label[eb], big)
-        m = jnp.minimum(la, lb)
-        label = label.at[ea].min(jnp.where(e_ok, m, big))
-        label = label.at[eb].min(jnp.where(e_ok, m, big))
+    def round_body(_, label):
+        incoming = jnp.where(ok2, label[src], big)
+        label = label.at[dst].min(incoming)
         # Pointer jumping: labels are body indices, so chase one level.
-        label = jnp.minimum(label, label[label])
-    return label
+        return jnp.minimum(label, label[label])
+
+    import jax
+
+    return jax.lax.fori_loop(
+        0, _LABEL_ROUNDS, round_body, jnp.arange(n, dtype=jnp.int32)
+    )
 
 
 def update_sleeping(

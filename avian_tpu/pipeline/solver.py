@@ -8,16 +8,29 @@ speculative-contact branch, simultaneous two-axis Coulomb friction
 (``plugin.rs:27-36``), and a post-substep restitution pass
 (``contact/mod.rs:358-407``).
 
-Parallelization: constraints are colored (``pipeline.coloring``); colors are
-solved sequentially, and all constraints within a color gather body state,
-solve all their points, and scatter velocity deltas at once — writes within a
-color are disjoint by construction. The overflow color uses accumulated
-scatter-adds (Jacobi-style), mirroring the reference's serially-solved
-overflow color in effect if not in mechanism.
+TPU-native structure (kernel-count-conscious — on TPU each unfused HLO op is
+a launch, so the design minimizes ops and memory round-trips):
+
+- All static per-constraint data is packed into ONE matrix ``data[C, D]``
+  and all mutable impulse state into ``imp[C, 16]``, so a solve pass does a
+  single gather per table instead of ~20 small ones.
+- Constraints are bucketed by color into fixed-capacity index buckets
+  ``buckets[num_colors, cap]``; the solve is a ``lax.scan`` over colors whose
+  body gathers only that color's rows (compute ∝ C·factor/num_colors per
+  sweep, one traced body instead of an unrolled per-color graph).
+- Body velocity state is packed to ``vw[N, 6]`` per pass (one gather/scatter
+  per constraint side).
+
+Within a color no two constraints share a dynamic body (see
+``pipeline.coloring``), so the scatters are provably disjoint — the same
+guarantee the reference's graph coloring gives its ``par_for_each``
+(``plugin.rs:494-505``). Bucket-overflow constraints land in the last color,
+where scatter-adds accumulate (Jacobi-style, the analogue of the reference's
+serial overflow color).
 """
 
 import math
-from dataclasses import dataclass, fields
+from dataclasses import dataclass, fields, replace
 
 import jax
 import jax.numpy as jnp
@@ -25,9 +38,33 @@ import jax.numpy as jnp
 from avian_tpu.core import types
 from avian_tpu.core.config import PhysicsConfig
 from avian_tpu.core.state import Contacts, World, MAX_POINTS
+from avian_tpu.math import quat as quat_m
 from avian_tpu.math import sym3, vec
 from avian_tpu.pipeline.coloring import color_constraints
 from avian_tpu.pipeline.solver_body import SolverState
+
+# --- packed column layout ---------------------------------------------------
+# data[C, D]:
+_N = 0            # 0:3   normal
+_T1 = 3           # 3:6   tangent1
+_T2 = 6           # 6:9   tangent2
+_FRICTION = 9
+_RESTITUTION = 10
+_SOFT = 11        # 11:14 (bias, mass_scale, impulse_scale)
+_IMA = 14         # 14:17 inv mass a (per axis)
+_IMB = 17
+_IIA = 20         # 20:26 inv inertia a (sym6)
+_IIB = 26
+_AA = 32          # 32:44 anchors a (4 x 3)
+_AB = 44          # 44:56 anchors b
+_SEP = 56         # 56:60 initial separation per point
+_NM = 60          # 60:64 normal effective mass per point
+_TK = 64          # 64:76 tangent k1,k2,k12 per point
+_NS = 76          # 76:80 initial normal speed per point
+_PM = 80          # 80:84 point mask per point
+_D = 84
+
+# imp[C, 16]: 0:4 normal impulse, 4:12 tangent impulse (4 x 2), 12:16 total.
 
 
 def _register(cls):
@@ -64,43 +101,47 @@ def contact_softness(config: PhysicsConfig):
 @_register
 @dataclass(frozen=True)
 class ContactConstraints:
-    """Transient per-step contact constraint data (SoA over pair slots)."""
+    """Transient per-step contact constraints, packed + color-bucketed."""
 
-    body_a: jnp.ndarray       # i32[C]
-    body_b: jnp.ndarray       # i32[C]
-    mask: jnp.ndarray         # f32[C] 1.0 = solve this pair
-    color: jnp.ndarray        # i32[C]
-    normal: jnp.ndarray       # f32[C, 3]
-    tangent1: jnp.ndarray     # f32[C, 3]
-    tangent2: jnp.ndarray     # f32[C, 3]
-    friction: jnp.ndarray     # f32[C]
-    restitution: jnp.ndarray  # f32[C]
-    softness: jnp.ndarray     # f32[C, 3] (bias, mass_scale, impulse_scale)
-    inv_mass_a: jnp.ndarray   # f32[C, 3] per-axis, after dominance
-    inv_mass_b: jnp.ndarray   # f32[C, 3]
-    inv_inertia_a: jnp.ndarray  # f32[C, 6]
-    inv_inertia_b: jnp.ndarray  # f32[C, 6]
-    # Per point
-    point_mask: jnp.ndarray   # f32[C, P]
-    anchor_a: jnp.ndarray     # f32[C, P, 3] world, from COM, fixed
-    anchor_b: jnp.ndarray     # f32[C, P, 3]
-    initial_separation: jnp.ndarray  # f32[C, P]
-    normal_mass: jnp.ndarray  # f32[C, P]
-    tangent_k: jnp.ndarray    # f32[C, P, 3] (k1, k2, k12) inverse masses
-    normal_speed: jnp.ndarray  # f32[C, P] initial approach speed
-    # Mutable accumulators (functional updates)
-    normal_impulse: jnp.ndarray    # f32[C, P]
-    tangent_impulse: jnp.ndarray   # f32[C, P, 2]
-    total_normal_impulse: jnp.ndarray  # f32[C, P]
+    body_a: jnp.ndarray   # i32[C]
+    body_b: jnp.ndarray   # i32[C]
+    mask: jnp.ndarray     # f32[C]
+    base_imp: jnp.ndarray  # f32[C, 16] impulses for constraints in no bucket
+    data: jnp.ndarray     # f32[num_colors, cap, D] color-bucketed static data
+    imp: jnp.ndarray      # f32[num_colors, cap, 16] bucketed mutable impulses
+    buckets: jnp.ndarray       # i32[num_colors, cap] constraint indices
+    bucket_valid: jnp.ndarray  # bool[num_colors, cap]
+    bucket_a: jnp.ndarray      # i32[num_colors, cap] prepacked body a
+    bucket_b: jnp.ndarray      # i32[num_colors, cap] prepacked body b
+    overflow_dropped: jnp.ndarray  # i32[] constraints that fit no bucket
 
     def replace(self, **kw):
-        return replace_dc(self, **kw)
+        return replace(self, **kw)
 
 
-def replace_dc(obj, **kw):
-    from dataclasses import replace as _r
+def _bucketize(color, active_mask, num_colors, cap):
+    """Fixed-capacity per-color index buckets via one stable sort.
 
-    return _r(obj, **kw)
+    Constraints whose color bucket is full go to the LAST color's remaining
+    space; if that is full too they are dropped (counted)."""
+    c = color.shape[0]
+    key = jnp.where(active_mask, color, num_colors)
+    order = jnp.argsort(key, stable=True)
+    sorted_key = key[order]
+    # Rank of each sorted element within its color run.
+    starts = jnp.searchsorted(sorted_key, jnp.arange(num_colors + 1))
+    rank = jnp.arange(c) - starts[jnp.clip(sorted_key, 0, num_colors)]
+    in_cap = (rank < cap) & (sorted_key < num_colors)
+    slot = jnp.clip(sorted_key, 0, num_colors - 1) * cap + rank
+    slot = jnp.where(in_cap, slot, num_colors * cap)  # dropped -> sentinel
+
+    flat = jnp.full((num_colors * cap + 1,), c, jnp.int32)
+    flat = flat.at[slot].set(order.astype(jnp.int32), mode="drop")
+    buckets = flat[:-1].reshape(num_colors, cap)
+    valid = buckets < c
+    buckets = jnp.where(valid, buckets, 0)
+    dropped = jnp.sum((sorted_key < num_colors) & ~in_cap)
+    return buckets, valid, dropped
 
 
 def prepare_constraints(
@@ -189,7 +230,6 @@ def prepare_constraints(
         + vec.dot(rt22, i2_rt22)
     )
     k12 = 2.0 * (vec.dot(rt11, i1_rt21) + vec.dot(rt12, i2_rt22))
-    tangent_k = jnp.stack([k1, k2, k12], axis=-1)
 
     # Initial separation includes anchor offsets (contact/mod.rs:197).
     initial_separation = -contacts.penetration - vec.dot(r2 - r1, n_p)
@@ -204,82 +244,124 @@ def prepare_constraints(
         & solve[:, None]
     ).astype(jnp.float32)
 
-    # Coloring on solvable pairs.
+    # Coloring + bucketing on solvable pairs.
     color, _overflow = color_constraints(
         ba, bb, dyn_a, dyn_b, solve, b.capacity, config.max_colors
     )
+    cap = max(
+        1, (2 * c + config.max_colors - 1) // config.max_colors
+    )
+    buckets, bucket_valid, dropped = _bucketize(
+        color, solve, config.max_colors, cap
+    )
+
+    data = jnp.concatenate(
+        [
+            n,                                   # 0:3
+            t1,                                  # 3:6
+            t2,                                  # 6:9
+            contacts.friction[:, None],          # 9
+            contacts.restitution[:, None],       # 10
+            softness,                            # 11:14
+            inv_mass_a,                          # 14:17
+            inv_mass_b,                          # 17:20
+            inv_inertia_a,                       # 20:26
+            inv_inertia_b,                       # 26:32
+            r1.reshape(c, 12),                   # 32:44
+            r2.reshape(c, 12),                   # 44:56
+            initial_separation,                  # 56:60
+            normal_mass,                         # 60:64
+            jnp.stack([k1, k2, k12], axis=-1).reshape(c, 12),  # 64:76
+            normal_speed,                        # 76:80
+            point_mask,                          # 80:84
+        ],
+        axis=-1,
+    )
+
+    imp = jnp.concatenate(
+        [
+            contacts.normal_impulse,
+            contacts.tangent_impulse.reshape(c, 8),
+            jnp.zeros((c, 4), jnp.float32),
+        ],
+        axis=-1,
+    )
+
+    # Bucket the packed tables by color once, so every solve pass reads its
+    # color's constraint rows SEQUENTIALLY (streamed, fused) instead of
+    # through a random HBM gather — the gathers that remain touch only the
+    # small per-body state. Bucket masks are baked into the point masks.
+    data_b = data[buckets]
+    data_b = data_b.at[:, :, _PM:_PM + 4].multiply(
+        bucket_valid[:, :, None].astype(jnp.float32)
+    )
+    imp_b = imp[buckets]
 
     return ContactConstraints(
         body_a=ba,
         body_b=bb,
         mask=solve.astype(jnp.float32),
-        color=color,
-        normal=n,
-        tangent1=t1,
-        tangent2=t2,
-        friction=contacts.friction,
-        restitution=contacts.restitution,
-        softness=softness,
-        inv_mass_a=inv_mass_a,
-        inv_mass_b=inv_mass_b,
-        inv_inertia_a=inv_inertia_a,
-        inv_inertia_b=inv_inertia_b,
-        point_mask=point_mask,
-        anchor_a=r1,
-        anchor_b=r2,
-        initial_separation=initial_separation,
-        normal_mass=normal_mass,
-        tangent_k=tangent_k,
-        normal_speed=normal_speed,
-        normal_impulse=contacts.normal_impulse,
-        tangent_impulse=contacts.tangent_impulse,
-        total_normal_impulse=jnp.zeros_like(contacts.normal_impulse),
+        base_imp=imp,
+        data=data_b,
+        imp=imp_b,
+        buckets=buckets,
+        bucket_valid=bucket_valid,
+        bucket_a=ba[buckets],
+        bucket_b=bb[buckets],
+        overflow_dropped=dropped,
     )
 
 
 # ---------------------------------------------------------------------------
-# Scatter helpers: apply per-constraint velocity deltas to bodies, color by
-# color. Within a color writes are disjoint; the overflow color accumulates.
+# Solve passes
 # ---------------------------------------------------------------------------
 
 
-def _apply_deltas(s: SolverState, con, mask, d_lv_a, d_av_a, d_lv_b, d_av_b):
-    m = mask[:, None]
-    lin = s.lin_vel.at[con.body_a].add(d_lv_a * m).at[con.body_b].add(d_lv_b * m)
-    ang = s.ang_vel.at[con.body_a].add(d_av_a * m).at[con.body_b].add(d_av_b * m)
-    return s.replace(lin_vel=lin, ang_vel=ang)
+def _pack_vw(s: SolverState):
+    return jnp.concatenate([s.lin_vel, s.ang_vel], axis=-1)
+
+
+def _unpack_vw(s: SolverState, vw):
+    return s.replace(lin_vel=vw[:, 0:3], ang_vel=vw[:, 3:6])
 
 
 def warm_start(s: SolverState, con: ContactConstraints, config) -> SolverState:
     """Apply previous impulses at substep start (``warm_start``,
-    ``plugin.rs:453-515``, ``contact/mod.rs:224-262``).
-
-    Warm starting is a fixed (velocity-independent) impulse application, so
-    unlike the solve passes it needs no color sequencing: one masked
-    scatter-add over all constraints accumulates correctly.
-    """
+    ``plugin.rs:453-515``). Velocity-independent, so one masked scatter-add
+    over all constraints suffices (no color sequencing needed)."""
     coeff = config.solver.warm_start_coefficient
+    d = con.data.reshape(-1, _D)
+    n = d[:, _N:_N + 3]
+    t1 = d[:, _T1:_T1 + 3]
+    t2 = d[:, _T2:_T2 + 3]
+    pm = d[:, _PM:_PM + 4]
+    imp = con.imp.reshape(-1, 16)
+    np_ = imp[:, 0:4] * pm
+    tp = imp[:, 4:12].reshape(-1, 4, 2) * pm[..., None]
+
     p = (
-        con.normal_impulse[..., None] * con.normal[:, None, :]
-        + con.tangent_impulse[..., 0:1] * con.tangent1[:, None, :]
-        + con.tangent_impulse[..., 1:2] * con.tangent2[:, None, :]
-    ) * (coeff * con.point_mask[..., None])
+        np_[..., None] * n[:, None, :]
+        + tp[..., 0:1] * t1[:, None, :]
+        + tp[..., 1:2] * t2[:, None, :]
+    ) * coeff
     p_sum = jnp.sum(p, axis=1)
+    r1 = d[:, _AA:_AA + 12].reshape(-1, 4, 3)
+    r2 = d[:, _AB:_AB + 12].reshape(-1, 4, 3)
     ang_a = jnp.sum(
-        sym3.mv(con.inv_inertia_a[:, None, :], jnp.cross(con.anchor_a, p)),
-        axis=1,
+        sym3.mv(d[:, None, _IIA:_IIA + 6], jnp.cross(r1, p)), axis=1
     )
     ang_b = jnp.sum(
-        sym3.mv(con.inv_inertia_b[:, None, :], jnp.cross(con.anchor_b, p)),
-        axis=1,
+        sym3.mv(d[:, None, _IIB:_IIB + 6], jnp.cross(r2, p)), axis=1
     )
-    d_lv_a = -p_sum * con.inv_mass_a
-    d_lv_b = p_sum * con.inv_mass_b
-    return _apply_deltas(s, con, con.mask, d_lv_a, -ang_a, d_lv_b, ang_b)
+    d_a = jnp.concatenate([-p_sum * d[:, _IMA:_IMA + 3], -ang_a], -1)
+    d_b = jnp.concatenate([p_sum * d[:, _IMB:_IMB + 3], ang_b], -1)
 
-
-def _num_colors(config: PhysicsConfig) -> int:
-    return config.max_colors
+    vw = _pack_vw(s)
+    vw = (
+        vw.at[con.bucket_a.reshape(-1)].add(d_a)
+        .at[con.bucket_b.reshape(-1)].add(d_b)
+    )
+    return _unpack_vw(s, vw)
 
 
 def solve_pass(
@@ -289,99 +371,111 @@ def solve_pass(
     use_bias: bool,
     config: PhysicsConfig,
 ):
-    """One bias or relax pass over all colors (``solve_contacts``,
-    ``plugin.rs:531-619``)."""
+    """One bias or relax pass: ``lax.scan`` over color buckets
+    (``solve_contacts``, ``plugin.rs:531-619``)."""
+    # Fused body state: velocities (mutable in this pass) + delta pose
+    # (read-only here) in one [N, 13] table -> 2 gathers per bucket side.
+    state = jnp.concatenate(
+        [s.lin_vel, s.ang_vel, s.delta_pos, s.delta_quat], axis=-1
+    )
     max_overlap_speed = config.solver.max_overlap_solve_speed
 
-    for c in range(_num_colors(config)):
-        mask = con.mask * (con.color == c).astype(jnp.float32)
-        s, con = _solve_color(s, con, mask, h, use_bias, max_overlap_speed)
-    return s, con
+    def body(c, carry):
+        state, imp = carry
+        d = imp[c]  # dynamic row: sequential read
+        new_state, new_d = _solve_bucket(
+            state, con.data[c], d, con.bucket_a[c], con.bucket_b[c],
+            h, use_bias, max_overlap_speed,
+        )
+        return new_state, imp.at[c].set(new_d)
+
+    state, imp = jax.lax.fori_loop(
+        0, con.data.shape[0], body, (state, con.imp)
+    )
+    return (
+        s.replace(lin_vel=state[:, 0:3], ang_vel=state[:, 3:6]),
+        con.replace(imp=imp),
+    )
 
 
-def _solve_color(s, con, mask, h, use_bias, max_overlap_speed):
-    """Solve all constraints (masked to one color): 4 normal points
-    sequentially, then friction — exactly the reference's per-constraint
-    point loops (``contact/mod.rs:267-354``)."""
-    va = s.lin_vel[con.body_a]
-    wa = s.ang_vel[con.body_a]
-    vb = s.lin_vel[con.body_b]
-    wb = s.ang_vel[con.body_b]
+def _solve_bucket(state, d, irows, a, b, h, use_bias, max_overlap_speed):
+    """Solve one color bucket: 4 normal points sequentially, then friction —
+    the reference's per-constraint point loops (``contact/mod.rs:267-354``),
+    vectorized across the bucket. Bucket validity is baked into the point
+    masks at prepare time."""
+    sa = state[a]
+    sb = state[b]
+    va, wa = sa[:, 0:3], sa[:, 3:6]
+    vb, wb = sb[:, 0:3], sb[:, 3:6]
+    dq_a = sa[:, 9:13]
+    dq_b = sb[:, 9:13]
+    delta_translation = sb[:, 6:9] - sa[:, 6:9]
 
-    dp_a = s.delta_pos[con.body_a]
-    dp_b = s.delta_pos[con.body_b]
-    from avian_tpu.math import quat as quat_m
-
-    dq_a = s.delta_quat[con.body_a]
-    dq_b = s.delta_quat[con.body_b]
-    delta_translation = dp_b - dp_a
-
-    n = con.normal
-    bias_c = con.softness[:, 0]
-    mass_c = con.softness[:, 1]
-    imp_c = con.softness[:, 2]
-
-    normal_impulse = con.normal_impulse
-    total_impulse = con.total_normal_impulse
+    n = d[:, _N:_N + 3]
+    soft_bias = d[:, _SOFT]
+    soft_mass = d[:, _SOFT + 1]
+    soft_imp = d[:, _SOFT + 2]
+    ima = d[:, _IMA:_IMA + 3]
+    imb = d[:, _IMB:_IMB + 3]
+    iia = d[:, _IIA:_IIA + 6]
+    iib = d[:, _IIB:_IIB + 6]
 
     d_va = jnp.zeros_like(va)
     d_wa = jnp.zeros_like(wa)
     d_vb = jnp.zeros_like(vb)
     d_wb = jnp.zeros_like(wb)
 
-    # --- normal impulses, point by point -------------------------------
+    np_new = []
+    total_new = []
     for p in range(MAX_POINTS):
-        r1 = con.anchor_a[:, p]
-        r2 = con.anchor_b[:, p]
-        pm = con.point_mask[:, p] * mask
+        r1 = d[:, _AA + 3 * p:_AA + 3 * p + 3]
+        r2 = d[:, _AB + 3 * p:_AB + 3 * p + 3]
+        pm = d[:, _PM + p]
 
         # Current separation from delta poses (contact/mod.rs:282-291).
-        r1_rot = quat_m.rotate(dq_a, r1)
-        r2_rot = quat_m.rotate(dq_b, r2)
-        delta_sep = delta_translation + (r2_rot - r1_rot)
-        separation = vec.dot(delta_sep, n) + con.initial_separation[:, p]
+        delta_sep = delta_translation + (
+            quat_m.rotate(dq_b, r2) - quat_m.rotate(dq_a, r1)
+        )
+        separation = vec.dot(delta_sep, n) + d[:, _SEP + p]
 
-        # Relative velocity at fixed anchors.
         rv = (vb + d_vb + jnp.cross(wb + d_wb, r2)) - (
             va + d_va + jnp.cross(wa + d_wa, r1)
         )
         vn = vec.dot(rv, n)
 
-        m_eff = con.normal_mass[:, p]
-        imp_acc = normal_impulse[:, p]
+        m_eff = d[:, _NM + p]
+        acc = irows[:, p]
 
-        # Three branches (normal_part.rs:116-166).
         spec = -m_eff * (vn + separation / h)
         if use_bias:
-            soft_bias = jnp.maximum(bias_c * separation, -max_overlap_speed)
-            inner = -m_eff * mass_c * (vn + soft_bias) - imp_c * imp_acc
+            sb = jnp.maximum(soft_bias * separation, -max_overlap_speed)
+            inner = -m_eff * soft_mass * (vn + sb) - soft_imp * acc
         else:
             inner = -m_eff * vn
-        imp = jnp.where(separation > 0.0, spec, inner)
+        delta = jnp.where(separation > 0.0, spec, inner)
 
-        new_acc = jnp.maximum(imp_acc + imp, 0.0)
-        imp = (new_acc - imp_acc) * pm
-        normal_impulse = normal_impulse.at[:, p].set(
-            jnp.where(pm > 0, new_acc, imp_acc)
-        )
-        total_impulse = total_impulse.at[:, p].add(
-            jnp.where(pm > 0, new_acc, 0.0)
-        )
+        new_acc = jnp.maximum(acc + delta, 0.0)
+        applied = (new_acc - acc) * pm
+        np_new.append(jnp.where(pm > 0, new_acc, acc))
+        total_new.append(irows[:, 12 + p] + jnp.where(pm > 0, new_acc, 0.0))
 
-        pvec = imp[:, None] * n
-        d_va = d_va - pvec * con.inv_mass_a
-        d_wa = d_wa - sym3.mv(con.inv_inertia_a, jnp.cross(r1, pvec))
-        d_vb = d_vb + pvec * con.inv_mass_b
-        d_wb = d_wb + sym3.mv(con.inv_inertia_b, jnp.cross(r2, pvec))
+        pvec = applied[:, None] * n
+        d_va = d_va - pvec * ima
+        d_wa = d_wa - sym3.mv(iia, jnp.cross(r1, pvec))
+        d_vb = d_vb + pvec * imb
+        d_wb = d_wb + sym3.mv(iib, jnp.cross(r2, pvec))
 
-    # --- friction, point by point ---------------------------------------
-    tangent_impulse = con.tangent_impulse
-    t1 = con.tangent1
-    t2 = con.tangent2
+    np_new = jnp.stack(np_new, axis=-1)
+    total_new = jnp.stack(total_new, axis=-1)
+
+    t1 = d[:, _T1:_T1 + 3]
+    t2 = d[:, _T2:_T2 + 3]
+    friction = d[:, _FRICTION]
+    tp_new = []
     for p in range(MAX_POINTS):
-        r1 = con.anchor_a[:, p]
-        r2 = con.anchor_b[:, p]
-        pm = con.point_mask[:, p] * mask
+        r1 = d[:, _AA + 3 * p:_AA + 3 * p + 3]
+        r2 = d[:, _AB + 3 * p:_AB + 3 * p + 3]
+        pm = d[:, _PM + p]
 
         rv = (vb + d_vb + jnp.cross(wb + d_wb, r2)) - (
             va + d_va + jnp.cross(wa + d_wa, r1)
@@ -389,9 +483,9 @@ def _solve_color(s, con, mask, h, use_bias, max_overlap_speed):
         vt1 = vec.dot(rv, t1)
         vt2 = vec.dot(rv, t2)
 
-        k1 = con.tangent_k[:, p, 0]
-        k2 = con.tangent_k[:, p, 1]
-        k12 = con.tangent_k[:, p, 2]
+        k1 = d[:, _TK + 3 * p]
+        k2 = d[:, _TK + 3 * p + 1]
+        k12 = d[:, _TK + 3 * p + 2]
         t11 = vt1 * vt1
         t22 = vt2 * vt2
         t12 = vt1 * vt2
@@ -400,100 +494,121 @@ def _solve_color(s, con, mask, h, use_bias, max_overlap_speed):
         m_eff = jnp.where(jnp.isfinite(m_eff), m_eff, 0.0)
 
         delta = m_eff[:, None] * jnp.stack([vt1, vt2], axis=-1)
-        acc = tangent_impulse[:, p]
-        limit = con.friction * normal_impulse[:, p]
+        acc = irows[:, 4 + 2 * p:6 + 2 * p]
+        limit = friction * np_new[:, p]
         new_acc = vec.clamp_length_max(acc - delta, limit)
-        imp2 = (new_acc - acc) * pm[:, None]
-        tangent_impulse = tangent_impulse.at[:, p].set(
-            jnp.where(pm[:, None] > 0, new_acc, acc)
-        )
+        applied = (new_acc - acc) * pm[:, None]
+        tp_new.append(jnp.where(pm[:, None] > 0, new_acc, acc))
 
-        pvec = imp2[:, 0:1] * t1 + imp2[:, 1:2] * t2
-        d_va = d_va - pvec * con.inv_mass_a
-        d_wa = d_wa - sym3.mv(con.inv_inertia_a, jnp.cross(r1, pvec))
-        d_vb = d_vb + pvec * con.inv_mass_b
-        d_wb = d_wb + sym3.mv(con.inv_inertia_b, jnp.cross(r2, pvec))
+        pvec = applied[:, 0:1] * t1 + applied[:, 1:2] * t2
+        d_va = d_va - pvec * ima
+        d_wa = d_wa - sym3.mv(iia, jnp.cross(r1, pvec))
+        d_vb = d_vb + pvec * imb
+        d_wb = d_wb + sym3.mv(iib, jnp.cross(r2, pvec))
 
-    s = _apply_deltas(s, con, mask, d_va, d_wa, d_vb, d_wb)
-    con = con.replace(
-        normal_impulse=normal_impulse,
-        tangent_impulse=tangent_impulse,
-        total_normal_impulse=total_impulse,
+    new_irows = jnp.concatenate(
+        [np_new, jnp.concatenate(tp_new, axis=-1), total_new], axis=-1
     )
-    return s, con
+
+    z7 = jnp.zeros((d_va.shape[0], 7), jnp.float32)
+    state = (
+        state.at[a].add(jnp.concatenate([d_va, d_wa, z7], -1))
+        .at[b].add(jnp.concatenate([d_vb, d_wb, z7], -1))
+    )
+    return state, new_irows
 
 
 def solve_restitution(
     s: SolverState, con: ContactConstraints, config: PhysicsConfig
 ):
     """Post-substep restitution (``apply_restitution``,
-    ``contact/mod.rs:358-407``)."""
+    ``contact/mod.rs:358-407``), scanned over color buckets."""
     threshold = config.solver.restitution_threshold * config.length_unit
+    vw = _pack_vw(s)
+    imp = con.imp
+
+    def body(c, carry):
+        vw, imp = carry
+        new_vw, new_d = _restitution_bucket(
+            vw, con.data[c], imp[c], con.bucket_a[c], con.bucket_b[c], threshold
+        )
+        return new_vw, imp.at[c].set(new_d)
 
     for _ in range(config.solver.restitution_iterations):
-        for c in range(_num_colors(config)):
-            mask = con.mask * (con.color == c).astype(jnp.float32)
-            mask = mask * (con.restitution > 0.0)
-            s, con = _restitution_color(s, con, mask, threshold)
-    return s, con
+        vw, imp = jax.lax.fori_loop(0, con.data.shape[0], body, (vw, imp))
+    return _unpack_vw(s, vw), con.replace(imp=imp)
 
 
-def _restitution_color(s, con, mask, threshold):
-    va = s.lin_vel[con.body_a]
-    wa = s.ang_vel[con.body_a]
-    vb = s.lin_vel[con.body_b]
-    wb = s.ang_vel[con.body_b]
-    n = con.normal
+def _restitution_bucket(vw, d, irows, a, b, threshold):
+    vmask = (d[:, _RESTITUTION] > 0.0).astype(jnp.float32)
 
-    normal_impulse = con.normal_impulse
-    total_impulse = con.total_normal_impulse
+    vwa = vw[a]
+    vwb = vw[b]
+    va, wa = vwa[:, 0:3], vwa[:, 3:6]
+    vb, wb = vwb[:, 0:3], vwb[:, 3:6]
+    n = d[:, _N:_N + 3]
+    restitution = d[:, _RESTITUTION]
+    ima = d[:, _IMA:_IMA + 3]
+    imb = d[:, _IMB:_IMB + 3]
+    iia = d[:, _IIA:_IIA + 6]
+    iib = d[:, _IIB:_IIB + 6]
+
     d_va = jnp.zeros_like(va)
     d_wa = jnp.zeros_like(wa)
     d_vb = jnp.zeros_like(vb)
     d_wb = jnp.zeros_like(wb)
 
+    np_new = []
+    total_new = []
     for p in range(MAX_POINTS):
-        r1 = con.anchor_a[:, p]
-        r2 = con.anchor_b[:, p]
-        active = (
-            (con.normal_speed[:, p] < -threshold)
-            & (con.total_normal_impulse[:, p] > 0.0)
-        )
-        pm = con.point_mask[:, p] * mask * active
+        r1 = d[:, _AA + 3 * p:_AA + 3 * p + 3]
+        r2 = d[:, _AB + 3 * p:_AB + 3 * p + 3]
+        ns = d[:, _NS + p]
+        active = (ns < -threshold) & (irows[:, 12 + p] > 0.0)
+        pm = d[:, _PM + p] * vmask * active
 
         rv = (vb + d_vb + jnp.cross(wb + d_wb, r2)) - (
             va + d_va + jnp.cross(wa + d_wa, r1)
         )
         vn = vec.dot(rv, n)
-        imp = -con.normal_mass[:, p] * (
-            vn + con.restitution * con.normal_speed[:, p]
-        )
-        acc = normal_impulse[:, p]
-        new_acc = jnp.maximum(acc + imp, 0.0)
-        imp = (new_acc - acc) * pm
-        normal_impulse = normal_impulse.at[:, p].set(
-            jnp.where(pm > 0, new_acc, acc)
-        )
-        total_impulse = total_impulse.at[:, p].add(imp)
+        delta = -d[:, _NM + p] * (vn + restitution * ns)
+        acc = irows[:, p]
+        new_acc = jnp.maximum(acc + delta, 0.0)
+        applied = (new_acc - acc) * pm
+        np_new.append(jnp.where(pm > 0, new_acc, acc))
+        total_new.append(irows[:, 12 + p] + applied)
 
-        pvec = imp[:, None] * n
-        d_va = d_va - pvec * con.inv_mass_a
-        d_wa = d_wa - sym3.mv(con.inv_inertia_a, jnp.cross(r1, pvec))
-        d_vb = d_vb + pvec * con.inv_mass_b
-        d_wb = d_wb + sym3.mv(con.inv_inertia_b, jnp.cross(r2, pvec))
+        pvec = applied[:, None] * n
+        d_va = d_va - pvec * ima
+        d_wa = d_wa - sym3.mv(iia, jnp.cross(r1, pvec))
+        d_vb = d_vb + pvec * imb
+        d_wb = d_wb + sym3.mv(iib, jnp.cross(r2, pvec))
 
-    s = _apply_deltas(s, con, mask, d_va, d_wa, d_vb, d_wb)
-    con = con.replace(
-        normal_impulse=normal_impulse, total_normal_impulse=total_impulse
+    new_irows = jnp.concatenate(
+        [
+            jnp.stack(np_new, -1),
+            irows[:, 4:12],
+            jnp.stack(total_new, -1),
+        ],
+        axis=-1,
     )
-    return s, con
+    vw = (
+        vw.at[a].add(jnp.concatenate([d_va, d_wa], -1))
+        .at[b].add(jnp.concatenate([d_vb, d_wb], -1))
+    )
+    return vw, new_irows
 
 
 def store_impulses(contacts: Contacts, con: ContactConstraints) -> Contacts:
     """Persist accumulated impulses for next-step warm starting
     (``store_contact_impulses``, ``plugin.rs:722-755``)."""
+    c = contacts.capacity
+    flat_idx = jnp.where(
+        con.bucket_valid.reshape(-1), con.buckets.reshape(-1), c
+    )
+    imp = con.base_imp.at[flat_idx].set(con.imp.reshape(-1, 16), mode="drop")
     return contacts.replace(
-        normal_impulse=con.normal_impulse,
-        tangent_impulse=con.tangent_impulse,
-        max_normal_impulse=con.total_normal_impulse,
+        normal_impulse=imp[:, 0:4],
+        tangent_impulse=imp[:, 4:12].reshape(c, 4, 2),
+        max_normal_impulse=imp[:, 12:16],
     )

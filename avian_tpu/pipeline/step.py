@@ -47,7 +47,8 @@ def physics_step(
         world.bodies, world.gravity, h
     )
     con = sol_m.prepare_constraints(world, contacts, s, config)
-    jcon = xpbd_m.prepare_joints(world, s, config)
+    has_joints = world.joints.capacity > 0  # static
+    jcon = xpbd_m.prepare_joints(world, s, config) if has_joints else None
 
     # ---- substep loop ----------------------------------------------------
     def substep(carry, _):
@@ -58,7 +59,8 @@ def physics_step(
         s, con = sol_m.solve_pass(s, con, h, True, config)
         s = int_m.integrate_positions(s, h)
         s, con = sol_m.solve_pass(s, con, h, False, config)
-        s, jcon = xpbd_m.solve_joints(s, jcon, world.bodies, h, config)
+        if jcon is not None:
+            s, jcon = xpbd_m.solve_joints(s, jcon, world.bodies, h, config)
         return (s, con, jcon), None
 
     (s, con, jcon), _ = jax.lax.scan(
@@ -68,7 +70,11 @@ def physics_step(
     # ---- finalize ----------------------------------------------------------
     s, con = sol_m.solve_restitution(s, con, config)
     contacts = sol_m.store_impulses(contacts, con)
-    joints = xpbd_m.store_joint_forces(world.joints, jcon, config)
+    joints = (
+        xpbd_m.store_joint_forces(world.joints, jcon, config)
+        if has_joints
+        else world.joints
+    )
     bodies = sb_m.writeback(world.bodies, s)
 
     # Clear per-step force/torque accumulators (Forces API semantics:

@@ -1,0 +1,109 @@
+"""Shape casting via conservative advancement
+(``SpatialQuery::cast_shape``, ``system_param.rs:300-600``; the reference
+delegates to Parry's ``cast_shapes``).
+
+Fixed-iteration conservative advancement using the narrowphase manifold
+functions for the distance/normal oracle: at parameter ``t`` the shapes'
+minimum separation ``d(t)`` bounds how far we can safely advance along the
+cast direction. Branch-free and vectorized over all colliders.
+"""
+
+from dataclasses import dataclass, fields
+
+import jax
+import jax.numpy as jnp
+
+from avian_tpu.geometry.narrowphase import compute_manifold
+from avian_tpu.math import vec
+from avian_tpu.pipeline.broadphase import update_collider_poses
+from avian_tpu.queries.filter import QueryFilter, collider_query_mask
+
+_BIG = 1e30
+_ITERS = 16
+_EPS = 1e-4
+
+
+def _register(cls):
+    jax.tree_util.register_dataclass(
+        cls, data_fields=[f.name for f in fields(cls)], meta_fields=[]
+    )
+    return cls
+
+
+@_register
+@dataclass(frozen=True)
+class ShapeHit:
+    """Mirrors ``ShapeHitData`` (shape_caster.rs)."""
+
+    collider: jnp.ndarray  # i32[]
+    body: jnp.ndarray      # i32[]
+    distance: jnp.ndarray  # f32[] travel distance along the cast
+    point_a: jnp.ndarray   # f32[3] witness on the cast shape at impact
+    point_b: jnp.ndarray   # f32[3] witness on the hit collider
+    normal: jnp.ndarray    # f32[3] surface normal on the hit collider
+    hit: jnp.ndarray       # bool[]
+
+
+def cast_shape(
+    world,
+    shape_type,
+    params,
+    origin,
+    rotation,
+    direction,
+    max_distance,
+    qfilter: QueryFilter = None,
+) -> ShapeHit:
+    """First hit when sweeping the shape from ``origin`` along
+    ``direction`` (unit) up to ``max_distance``."""
+    qfilter = qfilter if qfilter is not None else QueryFilter()
+    col = world.colliders
+    pos, quat = update_collider_poses(world)
+    ok = collider_query_mask(col, qfilter)
+
+    st = jnp.asarray(int(shape_type), jnp.int32)
+    prm = jnp.zeros(4, jnp.float32).at[: len(params)].set(
+        jnp.asarray(params, jnp.float32)
+    )
+    o = jnp.asarray(origin, jnp.float32)
+    rot = jnp.asarray(rotation, jnp.float32)
+    d = vec.normalize_or(
+        jnp.asarray(direction, jnp.float32), jnp.asarray([1.0, 0.0, 0.0])
+    )
+
+    def advance_one(ct, cp, cq, cprm):
+        def body(_, state):
+            t, done = state
+            m = compute_manifold(st, o + d * t, rot, prm, ct, cp, cq, cprm)
+            sep = jnp.min(m.separation)
+            n = m.normal  # from cast shape toward collider
+            approach = jnp.dot(d, n)  # >0 when moving toward the collider
+            hit_now = sep < _EPS
+            step = jnp.where(
+                approach > 1e-6, sep / jnp.maximum(approach, 1e-6), _BIG
+            )
+            new_t = jnp.where(done | hit_now, t, t + jnp.maximum(step, 0.0))
+            return jnp.minimum(new_t, max_distance + 1.0), done | hit_now
+
+        t, hit = jax.lax.fori_loop(0, _ITERS, body, (jnp.asarray(0.0), jnp.asarray(False)))
+        m = compute_manifold(st, o + d * t, rot, prm, ct, cp, cq, cprm)
+        sep = jnp.min(m.separation)
+        pi = jnp.argmin(m.separation)
+        hit = hit & (t <= max_distance)
+        return t, hit, m.point_a[pi], m.point_b[pi], m.normal
+
+    t, hit, pa, pb, n = jax.vmap(advance_one)(
+        col.shape_type, pos, quat, col.params
+    )
+    t = jnp.where(ok & hit, t, _BIG)
+    i = jnp.argmin(t)
+    found = t[i] < _BIG
+    return ShapeHit(
+        collider=jnp.where(found, i, -1).astype(jnp.int32),
+        body=jnp.where(found, col.body_idx[i], -1).astype(jnp.int32),
+        distance=jnp.where(found, t[i], jnp.inf),
+        point_a=pa[i],
+        point_b=pb[i],
+        normal=-n[i],
+        hit=found,
+    )
