@@ -19,10 +19,17 @@ for joints — matching the reference (``src/dynamics/solver/plugin.rs:27-36``).
 """
 
 from avian_tpu.core.config import PhysicsConfig, SolverConfig, NarrowPhaseConfig
-from avian_tpu.core.types import BodyType, ShapeType, CoefficientCombine
+from avian_tpu.core.types import (
+    BodyType,
+    ShapeType,
+    CoefficientCombine,
+    JointType,
+)
 from avian_tpu.core.state import Bodies, Colliders, Contacts, Joints, World
 from avian_tpu.core.builder import SceneBuilder
-from avian_tpu.pipeline.step import physics_step
+from avian_tpu.pipeline.step import physics_step, rollout
+from avian_tpu import queries, api, parallel, character, scenes
+from avian_tpu.utils import checkpoint, diagnostics
 
 __version__ = "0.1.0"
 
@@ -33,6 +40,7 @@ __all__ = [
     "BodyType",
     "ShapeType",
     "CoefficientCombine",
+    "JointType",
     "Bodies",
     "Colliders",
     "Contacts",
@@ -40,4 +48,12 @@ __all__ = [
     "World",
     "SceneBuilder",
     "physics_step",
+    "rollout",
+    "queries",
+    "api",
+    "parallel",
+    "character",
+    "scenes",
+    "checkpoint",
+    "diagnostics",
 ]

@@ -1,0 +1,81 @@
+"""Collision read API + events.
+
+Counterparts of the reference's ``Collisions`` system param
+(``contact_types/system_param.rs:53``: get/iter/contains/collisions_with/
+entities_colliding_with), ``CollidingEntities``, and the
+``CollisionStart``/``CollisionEnd`` events (``collision_events.rs:171,268``).
+
+In the array world, "events" are masks over the persistent contact buffer:
+``started(world)`` is true for pairs touching now that weren't last step.
+"""
+
+import jax.numpy as jnp
+
+from avian_tpu.core.state import World
+
+
+def touching(world: World):
+    """bool[C]: contact pairs currently touching."""
+    return world.contacts.active & world.contacts.touching
+
+
+def started(world: World):
+    """bool[C]: pairs that began touching this step (CollisionStart)."""
+    c = world.contacts
+    return c.active & c.touching & ~c.was_touching
+
+
+def ended(world: World):
+    """bool[C]: pairs that stopped touching this step (CollisionEnd).
+
+    Note: pairs whose AABBs separated entirely leave the buffer; this
+    reports pairs still tracked but no longer touching.
+    """
+    c = world.contacts
+    return c.active & ~c.touching & c.was_touching
+
+
+def contains(world: World, body_a, body_b):
+    """True if the two bodies are touching (``Collisions::contains``)."""
+    c = world.contacts
+    m = touching(world)
+    hit = m & (
+        ((c.body_a == body_a) & (c.body_b == body_b))
+        | ((c.body_a == body_b) & (c.body_b == body_a))
+    )
+    return jnp.any(hit)
+
+
+def get(world: World, body_a, body_b):
+    """Index of the contact-pair slot between two bodies, or -1."""
+    c = world.contacts
+    m = c.active & (
+        ((c.body_a == body_a) & (c.body_b == body_b))
+        | ((c.body_a == body_b) & (c.body_b == body_a))
+    )
+    idx = jnp.argmax(m)
+    return jnp.where(jnp.any(m), idx, -1).astype(jnp.int32)
+
+
+def collisions_with(world: World, body):
+    """bool[C]: touching pairs involving ``body``."""
+    c = world.contacts
+    return touching(world) & ((c.body_a == body) | (c.body_b == body))
+
+
+def entities_colliding_with(world: World, body, max_hits: int = 16):
+    """Body indices touching ``body``, padded with -1 (CollidingEntities)."""
+    import jax
+
+    c = world.contacts
+    m = collisions_with(world, body)
+    other = jnp.where(c.body_a == body, c.body_b, c.body_a)
+    score = jnp.where(m, 1.0, 0.0)
+    _, idx = jax.lax.top_k(score, max_hits)
+    return jnp.where(m[idx], other[idx], -1).astype(jnp.int32)
+
+
+def total_normal_impulse(world: World):
+    """f32[C]: total normal impulse magnitude applied per pair this step
+    (``ContactPoint::normal_impulse`` readback)."""
+    return jnp.sum(world.contacts.max_normal_impulse, axis=-1)

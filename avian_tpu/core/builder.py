@@ -26,6 +26,96 @@ def _quat_np(q):
     return q / max(float(np.linalg.norm(q)), 1e-12)
 
 
+
+
+# ---------------------------------------------------------------------------
+# Host-side (numpy) mass-property math. The jnp versions in geometry.shapes
+# are for on-device use; the builder must stay off-device because
+# device->host transfers are expensive on tunneled TPU runtimes.
+# ---------------------------------------------------------------------------
+
+_PI = float(np.pi)
+
+
+def _mass_properties_np(st, pr, dens):
+    from avian_tpu.core.types import ShapeType
+
+    r = pr[:, 0]
+    hx, hy, hz = pr[:, 0], pr[:, 1], pr[:, 2]
+    ch, cr = pr[:, 0], pr[:, 1]
+    H = 2.0 * ch
+
+    mass = np.zeros_like(r)
+    i3 = np.zeros((r.shape[0], 3), np.float32)
+
+    sph = st == ShapeType.SPHERE
+    m = dens * (4.0 / 3.0) * _PI * r**3
+    mass = np.where(sph, m, mass)
+    i3 = np.where(sph[:, None], (0.4 * m * r * r)[:, None] * np.ones(3, np.float32), i3)
+
+    box = st == ShapeType.BOX
+    m = dens * 8.0 * hx * hy * hz
+    ib = np.stack([hy * hy + hz * hz, hx * hx + hz * hz, hx * hx + hy * hy], -1) * (m / 3.0)[:, None]
+    mass = np.where(box, m, mass)
+    i3 = np.where(box[:, None], ib, i3)
+
+    cap = st == ShapeType.CAPSULE
+    m_cyl = dens * _PI * cr * cr * H
+    m_hem = dens * (4.0 / 3.0) * _PI * cr**3
+    m = m_cyl + m_hem
+    iy = m_cyl * cr * cr * 0.5 + m_hem * 0.4 * cr * cr
+    ix = m_cyl * (H * H / 12.0 + cr * cr / 4.0) + m_hem * (0.4 * cr * cr + H * H / 4.0 + 0.375 * H * cr)
+    mass = np.where(cap, m, mass)
+    i3 = np.where(cap[:, None], np.stack([ix, iy, ix], -1), i3)
+
+    cyl = st == ShapeType.CYLINDER
+    m = dens * _PI * cr * cr * H
+    iy = 0.5 * m * cr * cr
+    ix = m * (3.0 * cr * cr + H * H) / 12.0
+    mass = np.where(cyl, m, mass)
+    i3 = np.where(cyl[:, None], np.stack([ix, iy, ix], -1), i3)
+
+    cone = st == ShapeType.CONE
+    m = dens * _PI * cr * cr * H / 3.0
+    iy = 0.3 * m * cr * cr
+    ix = m * (3.0 / 20.0 * cr * cr + 3.0 / 80.0 * H * H)
+    mass = np.where(cone, m, mass)
+    i3 = np.where(cone[:, None], np.stack([ix, iy, ix], -1), i3)
+
+    i6 = np.concatenate([i3, np.zeros_like(i3)], -1).astype(np.float32)
+    return mass.astype(np.float32), i6
+
+
+def _shift_inertia_np(i6, mass, d):
+    d2 = np.sum(d * d, axis=-1)
+    shift = np.stack(
+        [
+            d2 - d[:, 0] * d[:, 0],
+            d2 - d[:, 1] * d[:, 1],
+            d2 - d[:, 2] * d[:, 2],
+            -d[:, 0] * d[:, 1],
+            -d[:, 0] * d[:, 2],
+            -d[:, 1] * d[:, 2],
+        ],
+        -1,
+    )
+    return i6 + shift * mass[:, None]
+
+
+def _sym3_inverse_np(s):
+    a, b, c = s[:, 0], s[:, 1], s[:, 2]
+    d, e, f = s[:, 3], s[:, 4], s[:, 5]
+    ca = b * c - f * f
+    cb = a * c - e * e
+    cc = a * b - d * d
+    cd = e * f - d * c
+    ce = d * f - e * b
+    cf = d * e - a * f
+    det = a * ca + d * cd + e * ce
+    inv_det = np.where(det != 0.0, 1.0 / np.where(det == 0.0, 1.0, det), 0.0)
+    return np.stack([ca, cb, cc, cd, ce, cf], -1) * inv_det[:, None]
+
+
 class SceneBuilder:
     """Accumulates bodies/colliders/joints, then ``finalize()``s to a World."""
 
@@ -54,6 +144,7 @@ class SceneBuilder:
         dominance: int = 0,
         locked_axes: int = 0,
         gyroscopic: bool = False,
+        swept_ccd: bool = False,
         sleep_disabled: bool = False,
     ) -> int:
         """Returns the body index."""
@@ -75,6 +166,7 @@ class SceneBuilder:
                 dominance=dominance,
                 locked_axes=locked_axes,
                 gyroscopic=gyroscopic,
+                swept_ccd=swept_ccd,
                 sleep_disabled=sleep_disabled,
             )
         )
@@ -260,7 +352,9 @@ class SceneBuilder:
             colliders = world.colliders
 
         # ---- bodies ----------------------------------------------------
-        # Auto mass properties: accumulate collider contributions per body.
+        # Auto mass properties: accumulate collider contributions per body
+        # (vectorized numpy — a Python/jnp per-collider loop here costs
+        # minutes at 10k+ colliders).
         auto_mass = np.zeros(n, np.float32)
         auto_first_moment = np.zeros((n, 3), np.float32)  # sum m_i * com_i
         auto_inertia = np.zeros((n, 6), np.float32)  # about body origin
@@ -268,73 +362,62 @@ class SceneBuilder:
             st = np.asarray(col["shape_type"], np.int32)
             pr = np.asarray(col["params"], np.float32)
             dens = np.asarray(col["density"], np.float32)
-            cm, ci6, _ = shapes_m.mass_properties(
-                jnp.asarray(st), jnp.asarray(pr), jnp.asarray(dens)
-            )
-            cm = np.asarray(cm)
-            ci6 = np.asarray(ci6)
-            for k, cd in enumerate(self._colliders):
-                b = cd["body"]
-                lp = cd["local_pos"]
-                # TODO: rotate collider inertia by local_quat (identity for
-                # the primitive set whose inertia is axis-aligned anyway).
-                i6 = np.asarray(
-                    shapes_m.shift_inertia(
-                        jnp.asarray(ci6[k]), jnp.asarray(cm[k]), jnp.asarray(lp)
-                    )
-                )
-                auto_mass[b] += cm[k]
-                auto_first_moment[b] += cm[k] * lp
-                auto_inertia[b] += i6
+            cm, ci6 = _mass_properties_np(st, pr, dens)
+            lp = np.asarray(col["local_pos"], np.float32).reshape(nc, 3)
+            # Parallel-axis shift of every collider inertia at once.
+            # TODO: rotate collider inertia by local_quat (identity for
+            # the primitive set whose inertia is axis-aligned anyway).
+            i6 = _shift_inertia_np(ci6, cm, lp)
+            body_of = np.asarray(col["body_idx"], np.int64)
+            np.add.at(auto_mass, body_of, cm)
+            np.add.at(auto_first_moment, body_of, cm[:, None] * lp)
+            np.add.at(auto_inertia, body_of, i6)
 
         arr = {k: [] for k in (
             "pos", "quat", "lin_vel", "ang_vel", "inv_mass", "inv_inertia",
             "com", "gravity_scale", "lin_damping", "ang_damping",
             "max_lin_speed", "max_ang_speed", "dominance", "body_type",
-            "locked_axes", "gyroscopic", "sleep_disabled")}
+            "locked_axes", "gyroscopic", "swept_ccd", "sleep_disabled")}
+        masses = np.zeros(nb, np.float32)
+        coms = np.zeros((nb, 3), np.float32)
+        i6s = np.zeros((nb, 6), np.float32)
+        dyn = np.zeros(nb, bool)
+        explicit_i = np.zeros(nb, bool)
         for i, bd in enumerate(self._bodies):
             arr["pos"].append(bd["pos"])
             arr["quat"].append(bd["quat"])
             arr["lin_vel"].append(bd["lin_vel"])
             arr["ang_vel"].append(bd["ang_vel"])
-            dynamic = bd["body_type"] == BodyType.DYNAMIC
-            mass = bd["mass"] if bd["mass"] is not None else float(auto_mass[i])
+            dyn[i] = bd["body_type"] == BodyType.DYNAMIC
+            masses[i] = bd["mass"] if bd["mass"] is not None else auto_mass[i]
             if bd["com"] is not None:
-                com = np.asarray(bd["com"], np.float32)
+                coms[i] = np.asarray(bd["com"], np.float32)
             elif auto_mass[i] > 0:
-                com = auto_first_moment[i] / auto_mass[i]
-            else:
-                com = np.zeros(3, np.float32)
+                coms[i] = auto_first_moment[i] / auto_mass[i]
             if bd["inertia"] is not None:
                 it = np.asarray(bd["inertia"], np.float32)
-                i6 = (
+                i6s[i] = (
                     np.concatenate([it, np.zeros(3, np.float32)])
                     if it.shape == (3,)
                     else it
                 )
-            else:
-                # Shift from body origin to COM.
-                i6 = np.asarray(
-                    shapes_m.shift_inertia(
-                        jnp.asarray(auto_inertia[i]),
-                        jnp.asarray(-auto_mass[i]),
-                        jnp.asarray(com),
-                    )
-                )
-            if dynamic and mass > 0:
-                inv_mass = 1.0 / mass
-                inv_i6 = np.asarray(sym3.inverse_or_zero(jnp.asarray(i6)))
-            else:
-                inv_mass = 0.0
-                inv_i6 = np.zeros(6, np.float32)
-            arr["inv_mass"].append(inv_mass)
-            arr["inv_inertia"].append(inv_i6)
-            arr["com"].append(com)
+                explicit_i[i] = True
             for k in ("gravity_scale", "lin_damping", "ang_damping",
                       "max_lin_speed", "max_ang_speed", "dominance",
-                      "body_type", "locked_axes", "gyroscopic",
+                      "body_type", "locked_axes", "gyroscopic", "swept_ccd",
                       "sleep_disabled"):
                 arr[k].append(bd[k])
+
+        # Vectorized: shift auto inertia from body origin to COM, invert.
+        shifted = _shift_inertia_np(auto_inertia[:nb], -auto_mass[:nb], coms)
+        i6s = np.where(explicit_i[:, None], i6s, shifted)
+        invertible = dyn & (masses > 0)
+        inv_mass = np.where(invertible, 1.0 / np.maximum(masses, 1e-30), 0.0)
+        inv_i6 = _sym3_inverse_np(i6s.astype(np.float32))
+        inv_i6 = np.where(invertible[:, None], inv_i6, 0.0).astype(np.float32)
+        arr["inv_mass"] = list(inv_mass.astype(np.float32))
+        arr["inv_inertia"] = list(inv_i6)
+        arr["com"] = list(coms)
 
         if nb:
             bodies = world.bodies.replace(
@@ -355,6 +438,7 @@ class SceneBuilder:
                 active=jnp.asarray(np.arange(n) < nb),
                 locked_axes=jnp.asarray(_pad(np.asarray(arr["locked_axes"], np.int32), n)),
                 gyroscopic=jnp.asarray(_pad(np.asarray(arr["gyroscopic"], bool), n, False)),
+                swept_ccd=jnp.asarray(_pad(np.asarray(arr["swept_ccd"], bool), n, False)),
                 sleep_disabled=jnp.asarray(_pad(np.asarray(arr["sleep_disabled"], bool), n, False)),
             )
         else:

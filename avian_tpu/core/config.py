@@ -74,6 +74,10 @@ class PhysicsConfig:
     sleep_angular_threshold: float = 0.15
     time_to_sleep: float = 0.5
     sleeping_enabled: bool = True
+    # Swept CCD pass for bodies flagged ``swept_ccd`` (SweptCcd component,
+    # ``ccd/mod.rs:389-419``). Off by default like the reference; speculative
+    # contacts are always on.
+    swept_ccd: bool = False
 
     @property
     def substep_dt(self) -> float:

@@ -72,6 +72,7 @@ class Bodies:
     active: jnp.ndarray       # bool[N] slot in use and enabled
     locked_axes: jnp.ndarray  # i32[N] bit mask (types.LOCK_*)
     gyroscopic: jnp.ndarray   # bool[N] apply gyroscopic torque (3D)
+    swept_ccd: jnp.ndarray    # bool[N] swept CCD (SweptCcd component)
     # Per-step force/torque accumulators (Forces API), cleared by the step.
     force: jnp.ndarray        # f32[N, 3] world-frame force
     torque: jnp.ndarray       # f32[N, 3]
@@ -120,6 +121,7 @@ class Bodies:
             active=jnp.zeros((n,), bool),
             locked_axes=jnp.zeros((n,), jnp.int32),
             gyroscopic=jnp.zeros((n,), bool),
+            swept_ccd=jnp.zeros((n,), bool),
             force=f3,
             torque=f3,
             const_force=f3,

@@ -29,17 +29,44 @@ from avian_tpu.pipeline import solver_body as sb_m
 from avian_tpu.pipeline import xpbd as xpbd_m
 
 
-@partial(jax.jit, static_argnames=("config", "return_diagnostics"))
+@partial(jax.jit, static_argnames=("config", "return_diagnostics", "hooks"))
 def physics_step(
-    world: World, config: PhysicsConfig, return_diagnostics: bool = False
+    world: World,
+    config: PhysicsConfig,
+    return_diagnostics: bool = False,
+    hooks=None,
 ):
-    """Advance the world by ``config.dt`` seconds."""
+    """Advance the world by ``config.dt`` seconds.
+
+    ``hooks`` is the TPU-native counterpart of the reference's
+    ``CollisionHooks`` trait (``src/collision/hooks.rs:8``): an object with
+    optional methods
+    ``filter_pairs(world, collider_a, collider_b, valid) -> valid`` (called
+    with the broadphase candidate arrays, like the reference's broadphase
+    hook ``broad_phase.rs:430-439``) and
+    ``modify_contacts(world, contacts) -> contacts`` (called after the
+    narrowphase, ``system_param.rs:771-778``) — e.g. one-way platforms zero
+    out manifolds, conveyor belts inject surface velocity. Must be a static
+    (hashable) object; changing it recompiles.
+    """
     h = config.substep_dt
 
     # ---- collision detection -------------------------------------------
     world = bp_m.update_aabbs(world, config)
     bp = bp_m.broad_phase(world, config)
+    if hooks is not None and hasattr(hooks, "filter_pairs"):
+        valid = hooks.filter_pairs(world, bp.collider_a, bp.collider_b, bp.valid)
+        bp = bp.__class__(
+            collider_a=bp.collider_a,
+            collider_b=bp.collider_b,
+            pair_key=jnp.where(valid, bp.pair_key, -1),
+            valid=valid,
+            num_pairs=jnp.sum(valid.astype(jnp.int32)),
+            dropped=bp.dropped,
+        )
     contacts = np_m.narrow_phase(world, bp, config)
+    if hooks is not None and hasattr(hooks, "modify_contacts"):
+        contacts = hooks.modify_contacts(world, contacts)
 
     # ---- prepare ---------------------------------------------------------
     s = sb_m.prepare(world.bodies)
@@ -68,6 +95,10 @@ def physics_step(
     )
 
     # ---- finalize ----------------------------------------------------------
+    if config.swept_ccd:
+        from avian_tpu.pipeline import ccd as ccd_m
+
+        s = ccd_m.solve_swept_ccd(world, s, config)
     s, con = sol_m.solve_restitution(s, con, config)
     contacts = sol_m.store_impulses(contacts, con)
     joints = (

@@ -1,0 +1,75 @@
+"""Checkpoint / resume: the whole simulation state is one pytree.
+
+Counterpart of the reference's ``serialize`` feature (serde on all simulation
+state incl. contact manifolds and warm-start impulses, SURVEY.md §5). The
+warm-start impulse caches live in ``World.contacts`` and round-trip through
+these helpers, so a restored simulation continues bit-identically.
+
+Two backends: plain ``np.savez`` (zero deps) and orbax (for sharded
+multi-host checkpoints of batched worlds).
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from avian_tpu.core.state import Bodies, Colliders, Contacts, Joints, World
+
+
+def _flatten_with_paths(world: World):
+    leaves = {}
+
+    def walk(obj, prefix):
+        if dataclasses.is_dataclass(obj):
+            for f in dataclasses.fields(obj):
+                walk(getattr(obj, f.name), f"{prefix}{f.name}.")
+        else:
+            leaves[prefix[:-1]] = np.asarray(obj)
+
+    walk(world, "")
+    return leaves
+
+
+def save(path: str, world: World) -> None:
+    """Save a World (or batched World) to an .npz file."""
+    np.savez_compressed(path, **_flatten_with_paths(world))
+
+
+def load(path: str) -> World:
+    """Load a World saved by :func:`save`."""
+    data = np.load(path)
+
+    def build(cls, prefix):
+        kw = {}
+        for f in dataclasses.fields(cls):
+            key = f"{prefix}{f.name}"
+            sub = {
+                "bodies": Bodies,
+                "colliders": Colliders,
+                "contacts": Contacts,
+                "joints": Joints,
+            }.get(f.name)
+            if sub is not None and cls is World:
+                kw[f.name] = build(sub, key + ".")
+            else:
+                kw[f.name] = jax.numpy.asarray(data[key])
+        return cls(**kw)
+
+    return build(World, "")
+
+
+def save_orbax(path: str, world: World) -> None:
+    """Checkpoint via orbax (supports sharded arrays across hosts)."""
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(path, world)
+    ckpt.wait_until_finished()
+
+
+def restore_orbax(path: str, like: World) -> World:
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.StandardCheckpointer()
+    return ckpt.restore(path, like)

@@ -21,6 +21,9 @@ BASELINE_BODY_STEPS_PER_SEC = 5050 / 12.29e-3  # ~410,903
 
 
 def main():
+    from avian_tpu.utils.cache import enable as enable_cache
+
+    enable_cache()
     from avian_tpu import PhysicsConfig
     from avian_tpu.pipeline.step import physics_step, rollout
     from avian_tpu.scenes import cube_pile

@@ -11,3 +11,7 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+from avian_tpu.utils.cache import enable as _enable_cache
+
+_enable_cache()

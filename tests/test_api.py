@@ -1,0 +1,127 @@
+"""Forces / control / collisions-API / checkpoint tests."""
+
+import os
+import tempfile
+
+import numpy as np
+import jax.numpy as jnp
+
+from avian_tpu import BodyType, PhysicsConfig, SceneBuilder, physics_step
+from avian_tpu.api import collisions, control, forces
+from avian_tpu.utils import checkpoint
+
+CFG = PhysicsConfig()
+CAPS = dict(max_bodies=8, max_colliders=8, max_contacts=64, max_joints=4)
+
+
+def _ground_ball(h=2.0, restitution=0.0):
+    b = SceneBuilder()
+    g = b.add_body(body_type=BodyType.STATIC)
+    b.half_space(g, normal=(0, 1, 0))
+    ball = b.add_body(pos=(0, h, 0))
+    b.sphere(ball, 0.5, restitution=restitution)
+    return b.finalize(**CAPS), ball
+
+
+def test_apply_force_accelerates():
+    b = SceneBuilder()
+    body = b.add_body(mass=2.0, inertia=(1, 1, 1), gravity_scale=0.0)
+    world = b.finalize(**CAPS)
+    world = forces.apply_force(world, body, (2.0, 0, 0))
+    world = physics_step(world, CFG)
+    # F/m * dt = 1.0 * dt
+    np.testing.assert_allclose(
+        float(world.bodies.lin_vel[body][0]), CFG.dt, rtol=1e-4
+    )
+    # Force is cleared after the step.
+    world = physics_step(world, CFG)
+    np.testing.assert_allclose(
+        float(world.bodies.lin_vel[body][0]), CFG.dt, rtol=1e-4
+    )
+
+
+def test_apply_impulse_and_at_point():
+    b = SceneBuilder()
+    body = b.add_body(mass=2.0, inertia=(1, 1, 1), gravity_scale=0.0)
+    world = b.finalize(**CAPS)
+    world = forces.apply_linear_impulse(world, body, (4.0, 0, 0))
+    np.testing.assert_allclose(
+        np.asarray(world.bodies.lin_vel[body]), [2, 0, 0], rtol=1e-5
+    )
+    world = forces.apply_impulse_at_point(world, body, (0, 0, 1.0), (1.0, 0, 0))
+    # Torque = r x J = (1,0,0) x (0,0,1) = (0,-1,0); w = I^-1 T = (0,-1,0).
+    np.testing.assert_allclose(
+        np.asarray(world.bodies.ang_vel[body]), [0, -1, 0], atol=1e-5
+    )
+
+
+def test_constant_force_persists():
+    b = SceneBuilder()
+    body = b.add_body(mass=1.0, inertia=(1, 1, 1), gravity_scale=0.0)
+    world = b.finalize(**CAPS)
+    world = forces.set_constant_force(world, body, (1.0, 0, 0))
+    for _ in range(60):
+        world = physics_step(world, CFG)
+    np.testing.assert_allclose(
+        float(world.bodies.lin_vel[body][0]), 1.0, rtol=1e-3
+    )
+
+
+def test_sleep_wake_and_gravity_change():
+    world, ball = _ground_ball()
+    for _ in range(200):
+        world = physics_step(world, CFG)
+    assert bool(world.bodies.sleeping[ball])
+    world = control.set_gravity(world, (0.0, 9.81, 0.0))  # flip gravity, wake
+    assert not bool(world.bodies.sleeping[ball])
+    for _ in range(30):
+        world = physics_step(world, CFG)
+    assert float(world.bodies.pos[ball][1]) > 1.0  # flew up
+
+
+def test_collision_api():
+    world, ball = _ground_ball(h=0.45)  # start slightly penetrating
+    world = physics_step(world, CFG)
+    assert bool(collisions.contains(world, 0, ball))
+    slot = int(collisions.get(world, 0, ball))
+    assert slot >= 0
+    others = np.asarray(collisions.entities_colliding_with(world, ball))
+    assert 0 in others
+    # started() fires on the first touching step.
+    world2, ball2 = _ground_ball(h=0.45)
+    w = physics_step(world2, CFG)
+    assert bool(jnp.any(collisions.started(w)))
+    w = physics_step(w, CFG)
+    assert not bool(jnp.any(collisions.started(w)))
+
+
+def test_checkpoint_roundtrip_bitwise():
+    world, ball = _ground_ball()
+    for _ in range(30):
+        world = physics_step(world, CFG)
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "ckpt.npz")
+        checkpoint.save(path, world)
+        restored = checkpoint.load(path)
+    # Continue both and compare bitwise (warm-start caches round-trip).
+    a = physics_step(world, CFG)
+    b2 = physics_step(restored, CFG)
+    np.testing.assert_array_equal(
+        np.asarray(a.bodies.pos), np.asarray(b2.bodies.pos)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.contacts.normal_impulse), np.asarray(b2.contacts.normal_impulse)
+    )
+
+
+def test_teleport_and_disable():
+    world, ball = _ground_ball()
+    world = control.set_position(world, ball, (5.0, 3.0, 0.0))
+    np.testing.assert_allclose(np.asarray(world.bodies.pos[ball]), [5, 3, 0])
+    world = control.disable_body(world, ball)
+    w2 = physics_step(world, CFG)
+    # Disabled body doesn't move.
+    np.testing.assert_allclose(np.asarray(w2.bodies.pos[ball]), [5, 3, 0])
+    world = control.enable_body(world, ball)
+    w3 = physics_step(world, CFG)
+    assert float(w3.bodies.pos[ball][1]) < 3.0

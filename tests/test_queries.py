@@ -1,0 +1,121 @@
+"""Spatial query tests (raycast / point / intersections / shapecast)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from avian_tpu import BodyType, PhysicsConfig, SceneBuilder, ShapeType
+from avian_tpu.pipeline.broadphase import update_aabbs
+from avian_tpu.queries import (
+    QueryFilter,
+    aabb_intersections,
+    cast_ray,
+    cast_shape,
+    point_intersections,
+    project_point,
+    ray_hits,
+    shape_intersections,
+)
+
+CFG = PhysicsConfig()
+
+
+def _world():
+    b = SceneBuilder()
+    g = b.add_body(body_type=BodyType.STATIC)
+    b.half_space(g, normal=(0, 1, 0))                       # collider 0
+    s = b.add_body(body_type=BodyType.STATIC, pos=(0, 2, 0))
+    b.sphere(s, 0.5)                                        # collider 1
+    bx = b.add_body(body_type=BodyType.STATIC, pos=(3, 1, 0))
+    b.box(bx, 1.0, 1.0, 1.0)                                # collider 2
+    cp = b.add_body(body_type=BodyType.STATIC, pos=(-3, 1, 0))
+    b.capsule(cp, 0.4, 1.2, layer_members=0b10, layer_filter=0b10)  # collider 3
+    w = b.finalize(max_bodies=8, max_colliders=8, max_contacts=16)
+    return update_aabbs(w, CFG)
+
+
+def test_cast_ray_sphere():
+    w = _world()
+    hit = cast_ray(w, (0, 5, 0), (0, -1, 0))
+    assert bool(hit.hit)
+    assert int(hit.collider) == 1
+    np.testing.assert_allclose(float(hit.distance), 2.5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(hit.normal), [0, 1, 0], atol=1e-4)
+
+
+def test_cast_ray_box_and_plane():
+    w = _world()
+    hit = cast_ray(w, (3, 5, 0), (0, -1, 0))
+    assert int(hit.collider) == 2
+    np.testing.assert_allclose(float(hit.distance), 3.0, atol=1e-4)
+    # Beyond the box in x: hits the ground plane.
+    hit = cast_ray(w, (10, 5, 0), (0, -1, 0))
+    assert int(hit.collider) == 0
+    np.testing.assert_allclose(float(hit.distance), 5.0, atol=1e-4)
+
+
+def test_ray_hits_multiple_sorted():
+    w = _world()
+    hits = ray_hits(w, (0, 5, 0), (0, -1, 0), max_hits=4)
+    found = np.asarray(hits.collider[np.asarray(hits.hit)])
+    dists = np.asarray(hits.distance[np.asarray(hits.hit)])
+    assert found[0] == 1 and 0 in found
+    assert np.all(np.diff(dists) >= 0)
+
+
+def test_ray_filter_layers():
+    w = _world()
+    # Capsule is on layer 2; a layer-1 query must pass through it.
+    hit = cast_ray(w, (-3, 5, 0), (0, -1, 0), qfilter=QueryFilter(mask=jnp.asarray(0b01, jnp.uint32)))
+    assert int(hit.collider) == 0  # ground
+    hit = cast_ray(w, (-3, 5, 0), (0, -1, 0), qfilter=QueryFilter(mask=jnp.asarray(0b10, jnp.uint32)))
+    assert int(hit.collider) == 3
+
+
+def test_ray_max_distance_and_inside():
+    w = _world()
+    miss = cast_ray(w, (0, 5, 0), (0, -1, 0), max_distance=1.0)
+    assert not bool(miss.hit)
+    inside = cast_ray(w, (0, 2, 0), (1, 0, 0), solid=True)
+    assert int(inside.collider) == 1 and float(inside.distance) == 0.0
+    exiting = cast_ray(w, (0, 2, 0), (1, 0, 0), solid=False)
+    assert int(exiting.collider) == 1
+    np.testing.assert_allclose(float(exiting.distance), 0.5, atol=1e-4)
+
+
+def test_project_point():
+    w = _world()
+    res = project_point(w, (0, 4, 0))
+    assert int(res["collider"]) == 1
+    np.testing.assert_allclose(np.asarray(res["point"]), [0, 2.5, 0], atol=1e-4)
+    np.testing.assert_allclose(float(res["distance"]), 1.5, atol=1e-4)
+    inside = project_point(w, (0, 2.1, 0))
+    assert bool(inside["is_inside"])
+
+
+def test_point_intersections():
+    w = _world()
+    idx = np.asarray(point_intersections(w, (3, 1, 0)))
+    assert 2 in idx
+    idx = np.asarray(point_intersections(w, (0, 10, 0)))
+    assert np.all(idx == -1)
+
+
+def test_aabb_and_shape_intersections():
+    w = _world()
+    idx = np.asarray(aabb_intersections(w, (2, 0.2, -1), (4, 2, 1)))
+    assert 2 in idx
+    idx = np.asarray(
+        shape_intersections(w, ShapeType.SPHERE, (1.0,), (0, 2.4, 0), (0, 0, 0, 1))
+    )
+    assert 1 in idx
+
+
+def test_cast_shape_sphere_onto_plane():
+    w = _world()
+    hit = cast_shape(
+        w, ShapeType.SPHERE, (0.5,), (10, 5, 0), (0, 0, 0, 1), (0, -1, 0), 10.0
+    )
+    assert bool(hit.hit)
+    assert int(hit.collider) == 0
+    np.testing.assert_allclose(float(hit.distance), 4.5, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(hit.normal), [0, 1, 0], atol=1e-3)
