@@ -65,6 +65,7 @@ def depenetrate(
     cpos, cquat = update_collider_poses(world)
     ok = collider_query_mask(col, qfilter)
 
+    quat = jnp.asarray(quat, jnp.float32)
     st = jnp.asarray(int(shape_type), jnp.int32)
     prm = jnp.zeros(4, jnp.float32).at[: len(params)].set(
         jnp.asarray(params, jnp.float32)

@@ -34,6 +34,16 @@ from avian_tpu.math import quat as quat_m
 MAX_GLOBALS = 8  # max colliders with unbounded AABBs (ground planes etc.)
 
 
+def _expand_bits(v):
+    """Spread the low 10 bits of ``v`` so consecutive bits are 3 apart
+    (Morton encoding helper)."""
+    v = (v | (v << 16)) & 0x030000FF
+    v = (v | (v << 8)) & 0x0300F00F
+    v = (v | (v << 4)) & 0x030C30C3
+    v = (v | (v << 2)) & 0x09249249
+    return v
+
+
 def _register(cls):
     jax.tree_util.register_dataclass(
         cls, data_fields=[f.name for f in fields(cls)], meta_fields=[]
@@ -133,12 +143,47 @@ def broad_phase(world: World, config: PhysicsConfig) -> BroadPhaseResult:
     c_cap = world.contacts.capacity
     w = min(config.sap_window, max(m - 1, 1))
 
-    is_global = (col.aabb_max[:, 0] - col.aabb_min[:, 0]) > shapes.BIG
+    ext_c = jnp.max(col.aabb_max - col.aabb_min, axis=-1)
+    is_plane = ext_c > shapes.BIG
+    finite = col.active & ~is_plane
+    scene_ext = jnp.max(
+        jnp.where(
+            finite[:, None], col.aabb_max, -jnp.inf
+        ).max(axis=0)
+        - jnp.where(finite[:, None], col.aabb_min, jnp.inf).min(axis=0)
+    )
+    # Relatively huge colliders (walls, big platforms) overlap far more
+    # neighbors than any window covers — test them densely instead.
+    is_big = finite & (ext_c > 0.25 * jnp.maximum(scene_ext, 1e-6))
+    is_global = is_plane | is_big
     in_sweep = col.active & ~is_global
 
-    # ---- sweep and prune over min-x ----------------------------------
-    sort_key = jnp.where(in_sweep, col.aabb_min[:, 0], jnp.inf)
-    order = jnp.argsort(sort_key)  # stable -> deterministic
+    # ---- windowed sweep in Morton (Z-curve) order ---------------------
+    # The reference sweeps along min-x (``broad_phase.rs:373-474``), which
+    # works for its serial interval list but is catastrophic for a windowed
+    # sweep on grid-like scenes (hundreds of colliders share one x slice).
+    # Sorting by the Morton code of the AABB center keeps 3D-adjacent
+    # colliders adjacent in the order, so a modest window finds all local
+    # pairs. Deterministic: stable sort on the code.
+    center = 0.5 * (col.aabb_min + col.aabb_max)
+    lo_w = jnp.min(
+        jnp.where(in_sweep[:, None], center, jnp.inf), axis=0
+    )
+    hi_w = jnp.max(
+        jnp.where(in_sweep[:, None], center, -jnp.inf), axis=0
+    )
+    extent = jnp.maximum(hi_w - lo_w, 1e-6)
+    q = jnp.clip(
+        ((center - lo_w) / extent * 1023.0).astype(jnp.int32), 0, 1023
+    )
+    sort_key = jnp.where(
+        in_sweep,
+        (_expand_bits(q[:, 0]) << 2)
+        | (_expand_bits(q[:, 1]) << 1)
+        | _expand_bits(q[:, 2]),
+        jnp.iinfo(jnp.int32).max,
+    )
+    order = jnp.argsort(sort_key, stable=True)
     s_min = col.aabb_min[order]
     s_max = col.aabb_max[order]
     s_ok = in_sweep[order]
@@ -150,13 +195,11 @@ def broad_phase(world: World, config: PhysicsConfig) -> BroadPhaseResult:
     jdx = jnp.minimum(i2 + k2, m - 1)                 # [m, w]
     win_a = jnp.broadcast_to(order[:, None], (m, w))
     win_b = order[jdx]
-    x_overlap = s_min[jdx, 0] <= s_max[:, 0:1]
-    yz_overlap = jnp.all(
-        (s_min[jdx, 1:] <= s_max[:, None, 1:])
-        & (s_min[:, None, 1:] <= s_max[jdx, 1:]),
+    overlap = jnp.all(
+        (s_min[jdx] <= s_max[:, None, :]) & (s_min[:, None, :] <= s_max[jdx]),
         axis=-1,
     )
-    win_ok = (i2 + k2 < m) & s_ok[:, None] & s_ok[jdx] & x_overlap & yz_overlap
+    win_ok = (i2 + k2 < m) & s_ok[:, None] & s_ok[jdx] & overlap
 
     # ---- dense pass vs global colliders (planes), vectorized [G, m] ----
     g_cap = min(MAX_GLOBALS, m)

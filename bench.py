@@ -28,7 +28,9 @@ def main():
     from avian_tpu.pipeline.step import physics_step, rollout
     from avian_tpu.scenes import cube_pile
 
-    config = PhysicsConfig()
+    # Reference bench protocol: 60 Hz, SubstepCount(4)
+    # (/root/reference/benches/src/dim2/mod.rs:41-49).
+    config = PhysicsConfig(substeps=4)
     world, ids = cube_pile(n_cubes=N_CUBES, max_contacts=8 * N_CUBES)
 
     step = jax.jit(lambda w: physics_step(w, config))
