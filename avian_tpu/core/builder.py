@@ -172,6 +172,18 @@ class SceneBuilder:
         )
         return len(self._bodies) - 1
 
+    def add_body_2d(self, pos=(0.0, 0.0), angle: float = 0.0, **kw) -> int:
+        """A body constrained to the XY plane (the 2D mode: translation Z
+        and rotation X/Y locked — behaviorally the reference's ``avian2d``
+        with the shared 3D source, ``crates/avian2d``). ``pos`` is (x, y)."""
+        from avian_tpu.core import types as _t
+
+        locked = kw.pop("locked_axes", 0) | _t.LOCK_TZ | _t.LOCK_RX | _t.LOCK_RY
+        q = (0.0, 0.0, _math.sin(angle / 2), _math.cos(angle / 2))
+        return self.add_body(
+            pos=(pos[0], pos[1], 0.0), quat=q, locked_axes=locked, **kw
+        )
+
     # ------------------------------------------------------------------
     def add_collider(
         self,
@@ -285,6 +297,15 @@ class SceneBuilder:
         kw.setdefault("basis_a", basis)
         kw.setdefault("basis_b", basis)
         return self.add_joint(JointType.REVOLUTE, body_a, body_b, **kw)
+
+    def shape_pairs(self):
+        """Canonical (type_a, type_b) combinations this scene can produce —
+        pass to ``PhysicsConfig(shape_pairs=...)`` so the narrowphase only
+        lowers reachable pair functions."""
+        present = sorted({cd["shape"] for cd in self._colliders})
+        return tuple(
+            (a, b) for i, a in enumerate(present) for b in present[i:]
+        )
 
     # ------------------------------------------------------------------
     def finalize(

@@ -64,6 +64,11 @@ class PhysicsConfig:
     # uses 24 greedy colors + a serial overflow color
     # (``constraint_graph.rs:39-48``).
     max_colors: int = 8
+    # Per-color bucket capacity = factor * C / max_colors. Colors are rarely
+    # balanced (ground contacts don't conflict and crowd one color), so >1.
+    # Overflowing constraints fall into later buckets or are dropped
+    # (counted in ``ContactConstraints.overflow_dropped``).
+    color_bucket_factor: float = 2.0
     # Sweep-and-prune candidate window: after sorting colliders by AABB min-x,
     # each collider is tested against the next `sap_window` colliders. Wider
     # windows cost compute; overlaps beyond the window are missed (counted in
@@ -78,6 +83,12 @@ class PhysicsConfig:
     # ``ccd/mod.rs:389-419``). Off by default like the reference; speculative
     # contacts are always on.
     swept_ccd: bool = False
+    # Optional static hint: canonical (type_a, type_b) shape pairs the scene
+    # can produce (``SceneBuilder.shape_pairs()``). The narrowphase dispatch
+    # only lowers these branches — under vmap, lax.switch evaluates every
+    # branch on the whole pair buffer, so unreachable branches cost real
+    # time. None = all supported pairs.
+    shape_pairs: tuple | None = None
 
     @property
     def substep_dt(self) -> float:

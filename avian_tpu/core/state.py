@@ -237,6 +237,9 @@ class Contacts:
     # Combined material
     friction: jnp.ndarray     # f32[C]
     restitution: jnp.ndarray  # f32[C]
+    # Relative surface velocity (conveyor belts; the reference manifold's
+    # ``tangent_velocity``, set via CollisionHooks::modify_contacts).
+    surface_velocity: jnp.ndarray  # f32[C, 3]
 
     @property
     def capacity(self) -> int:
@@ -272,6 +275,7 @@ class Contacts:
             max_normal_impulse=p1,
             friction=jnp.zeros((c,), jnp.float32),
             restitution=jnp.zeros((c,), jnp.float32),
+            surface_velocity=jnp.zeros((c, 3), jnp.float32),
         )
 
 

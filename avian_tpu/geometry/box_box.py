@@ -156,6 +156,11 @@ def _face_manifold(r_inc, t_inc, h_ref, h_inc, axis_idx):
     ``t_inc``, half-extents ``h_inc``) against the reference box's face
     ``axis_idx`` (half-extents ``h_ref``, identity pose).
 
+    Works entirely in the reference face's (u, v, w) coordinates — the clip
+    planes are axis-aligned there, so inside tests are component compares
+    and intersections are 1D lerps. This matters: this function runs for
+    every box-box pair in the buffer.
+
     Returns (points_on_incident[4,3], points_on_ref[4,3], separations[4],
     feature_ids[4], count, ref_normal[3]) in the reference box's frame.
     """
@@ -163,73 +168,69 @@ def _face_manifold(r_inc, t_inc, h_ref, h_inc, axis_idx):
     sign = _signp(t_inc[axis_idx])
     n_ref = eye[axis_idx] * sign  # outward, toward incident box
     h_axis = h_ref[axis_idx]
+    u_r = (axis_idx + 1) % 3
+    v_r = (axis_idx + 2) % 3
+    hu_r = h_ref[u_r]
+    hv_r = h_ref[v_r]
 
     # Incident face: the face of inc whose outward normal is most
     # anti-parallel to n_ref.
     dots = vec.mtv3(r_inc, n_ref)  # [3] = dot(n_ref, b_j)
     j = jnp.argmax(jnp.abs(dots))
     sj = -_signp(dots[j])
-    # The other two axes of the incident box (u, v).
-    u = (j + 1) % 3
-    v = (j + 2) % 3
-    b_j = r_inc[:, j]
-    b_u = r_inc[:, u]
-    b_v = r_inc[:, v]
-    face_center = t_inc + sj * h_inc[j] * b_j
-    hu = h_inc[u]
-    hv = h_inc[v]
+    ju = (j + 1) % 3
+    jv = (j + 2) % 3
+    face_center = t_inc + sj * h_inc[j] * r_inc[:, j]
+    b_u = r_inc[:, ju] * h_inc[ju]
+    b_v = r_inc[:, jv] * h_inc[jv]
     # Quad loop order: (+u,+v) -> (-u,+v) -> (-u,-v) -> (+u,-v).
     quad_signs = jnp.asarray(
         [[1.0, 1.0], [-1.0, 1.0], [-1.0, -1.0], [1.0, -1.0]], jnp.float32
     )
     verts4 = (
         face_center[None, :]
-        + quad_signs[:, 0:1] * hu * b_u[None, :]
-        + quad_signs[:, 1:2] * hv * b_v[None, :]
+        + quad_signs[:, 0:1] * b_u[None, :]
+        + quad_signs[:, 1:2] * b_v[None, :]
+    )
+    # Project to face coordinates: (u, v, w) = components (u_r, v_r, axis).
+    q4 = jnp.stack(
+        [verts4[:, u_r], verts4[:, v_r], verts4[:, axis_idx] * sign], axis=-1
     )
 
-    # Fixed 8-slot polygon, starting with the 4 incident verts.
+    # Fixed 8-slot polygon in (u, v, w); pad with repeats of vertex 0 (a
+    # degenerate ring keeps Sutherland-Hodgman correct without a count).
     P = 8
-    verts = jnp.zeros((P, 3), jnp.float32).at[:4].set(verts4)
+    q = jnp.concatenate([q4, jnp.broadcast_to(q4[0:1], (4, 3))], axis=0)
     fids = jnp.zeros((P,), jnp.int32).at[:4].set(
         jnp.arange(4, dtype=jnp.int32) + 4 * j.astype(jnp.int32)
     )
     count = jnp.asarray(4, jnp.int32)
 
-    # Side planes of the reference face: +-e_u', +-e_v' for the two other
-    # reference axes.
-    u_r = (axis_idx + 1) % 3
-    v_r = (axis_idx + 2) % 3
-    planes_n = jnp.stack([eye[u_r], -eye[u_r], eye[v_r], -eye[v_r]])
-    planes_d = jnp.stack([h_ref[u_r], h_ref[u_r], h_ref[v_r], h_ref[v_r]])
+    # Clip against u <= hu, -u <= hu, v <= hv, -v <= hv.
+    for k, (axis2, s2, lim) in enumerate(
+        [(0, 1.0, hu_r), (0, -1.0, hu_r), (1, 1.0, hv_r), (1, -1.0, hv_r)]
+    ):
+        q, fids, count = _clip_axis(q, fids, count, axis2, s2, lim, 32 + 8 * k)
 
-    for k in range(4):
-        verts, fids, count = _clip_polygon(
-            verts, fids, count, planes_n[k], planes_d[k], 32 + 8 * k
-        )
-
-    # Separations above the reference face.
-    seps = jnp.sum(verts * n_ref[None, :], axis=-1) - h_axis
+    # Separations above the reference face = w - h.
     valid = jnp.arange(P) < count
-    seps = jnp.where(valid, seps, 1e9)
+    seps = jnp.where(valid, q[:, 2] - h_axis, 1e9)
+    uv = q[:, :2]
 
-    # Reduce to 4 points: deepest, farthest, max/min signed area.
+    # Reduce to 4 points: deepest, farthest, max/min signed 2D area.
     idx0 = jnp.argmin(seps)
-    p0 = verts[idx0]
-    d2 = jnp.where(valid, vec.length_sq(verts - p0), -1.0)
+    p0 = uv[idx0]
+    d2 = jnp.where(valid, jnp.sum((uv - p0) ** 2, axis=-1), -1.0)
     d2 = d2.at[idx0].set(-1.0)
     idx1 = jnp.argmax(d2)
-    p1 = verts[idx1]
-    # Signed area in the face plane via the reference normal.
-    cr = jnp.sum(jnp.cross(p1 - p0, verts - p0) * n_ref[None, :], axis=-1)
+    e1 = uv[idx1] - p0
+    cr = e1[0] * (uv[:, 1] - p0[1]) - e1[1] * (uv[:, 0] - p0[0])
     cr_mask = jnp.where(valid, cr, 0.0)
     cr_mask = cr_mask.at[idx0].set(0.0).at[idx1].set(0.0)
     idx2 = jnp.argmax(cr_mask)
     idx3 = jnp.argmin(cr_mask)
 
     sel = jnp.stack([idx0, idx1, idx2, idx3])
-    # Deduplicate: a slot is valid if its index differs from all earlier ones
-    # and the underlying vertex is valid.
     first = jnp.asarray(
         [
             True,
@@ -239,52 +240,54 @@ def _face_manifold(r_inc, t_inc, h_ref, h_inc, axis_idx):
         ]
     )
     ok = first & valid[sel]
-    # Compact the selected points to the front.
-    pos = jnp.cumsum(ok.astype(jnp.int32)) - 1
-    tgt = jnp.where(ok, pos, 4)
-    out_pts = jnp.zeros((4, 3), jnp.float32).at[tgt].set(verts[sel], mode="drop")
-    out_seps = jnp.full((4,), 1e9, jnp.float32).at[tgt].set(
-        jnp.where(ok, seps[sel], 1e9), mode="drop"
-    )
-    out_fids = jnp.zeros((4,), jnp.int32).at[tgt].set(fids[sel], mode="drop")
+    out_q = q[sel]
+    out_seps = jnp.where(ok, seps[sel], 1e9)
+    out_fids = jnp.where(ok, fids[sel], 0)
     out_count = jnp.sum(ok.astype(jnp.int32))
 
+    # Back to 3D in the reference frame.
+    out_pts = (
+        out_q[:, 0:1] * eye[u_r][None, :]
+        + out_q[:, 1:2] * eye[v_r][None, :]
+        + (out_q[:, 2:3] * sign) * eye[axis_idx][None, :]
+    )
     ref_pts = out_pts - n_ref[None, :] * out_seps[:, None].clip(-1e8, 1e8)
     return out_pts, ref_pts, out_seps, out_fids, out_count, n_ref
 
 
-def _clip_polygon(verts, fids, count, plane_n, plane_d, fid_base):
-    """One Sutherland-Hodgman clip of a padded polygon against
-    ``dot(p, plane_n) <= plane_d``. Fixed shapes: 8-slot polygon in,
-    16-slot emit buffer, compacted back to 8 slots."""
-    P = verts.shape[0]
+def _clip_axis(q, fids, count, axis2, s2, lim, fid_base):
+    """Sutherland-Hodgman clip of the (u, v, w) polygon against
+    ``s2 * q[axis2] <= lim``. Each input edge emits up to 2 points into a
+    16-slot buffer; compaction is one batched small-axis sort."""
+    P = q.shape[0]
     idx = jnp.arange(P)
     nxt = jnp.where(idx + 1 >= count, 0, idx + 1)
-    cur = verts
-    nxt_v = verts[nxt]
-    d_cur = jnp.sum(cur * plane_n[None, :], axis=-1) - plane_d
-    d_nxt = jnp.sum(nxt_v * plane_n[None, :], axis=-1) - plane_d
+    cur = q
+    nxt_q = q[nxt]
+    d_cur = s2 * cur[:, axis2] - lim
+    d_nxt = s2 * nxt_q[:, axis2] - lim
     in_cur = d_cur <= 0.0
-    in_nxt = d_nxt <= 0.0
     edge_valid = idx < count
+    crossing = edge_valid & (in_cur != (d_nxt <= 0.0))
 
-    # Emit slots: [2i] = cur if inside; [2i+1] = intersection if crossing.
-    t = d_cur / jnp.where(
-        jnp.abs(d_cur - d_nxt) > 1e-12, d_cur - d_nxt, 1e-12
+    t = d_cur / jnp.where(jnp.abs(d_cur - d_nxt) > 1e-12, d_cur - d_nxt, 1e-12)
+    inter = cur + (nxt_q - cur) * jnp.clip(t, 0.0, 1.0)[:, None]
+
+    emit_q = jnp.concatenate([cur, inter], axis=0)          # [16, 3]
+    emit_f = jnp.concatenate([fids, fid_base + idx], axis=0)
+    emit_ok = jnp.concatenate([edge_valid & in_cur, crossing])
+    # Ring-order key: even slots for kept vertices, odd for intersections;
+    # invalid entries sort to the back.
+    order_key = jnp.concatenate([2 * idx, 2 * idx + 1])
+    key = jnp.where(emit_ok, order_key, 2 * P + order_key)
+    _, qq0, qq1, qq2, ff, ok = jax.lax.sort(
+        [key, emit_q[:, 0], emit_q[:, 1], emit_q[:, 2], emit_f,
+         emit_ok.astype(jnp.int32)],
+        num_keys=1,
     )
-    inter = cur + (nxt_v - cur) * jnp.clip(t, 0.0, 1.0)[:, None]
-
-    emit_v = jnp.zeros((2 * P, 3), jnp.float32)
-    emit_v = emit_v.at[0::2].set(cur).at[1::2].set(inter)
-    emit_f = jnp.zeros((2 * P,), jnp.int32)
-    emit_f = emit_f.at[0::2].set(fids).at[1::2].set(fid_base + idx)
-    emit_ok = jnp.zeros((2 * P,), bool)
-    emit_ok = emit_ok.at[0::2].set(edge_valid & in_cur)
-    emit_ok = emit_ok.at[1::2].set(edge_valid & (in_cur != in_nxt))
-
-    pos = jnp.cumsum(emit_ok.astype(jnp.int32)) - 1
-    tgt = jnp.where(emit_ok, jnp.minimum(pos, P - 1), P)
-    out_v = jnp.zeros((P, 3), jnp.float32).at[tgt].set(emit_v, mode="drop")
-    out_f = jnp.zeros((P,), jnp.int32).at[tgt].set(emit_f, mode="drop")
+    out_q = jnp.stack([qq0[:P], qq1[:P], qq2[:P]], axis=-1)
     out_count = jnp.minimum(jnp.sum(emit_ok.astype(jnp.int32)), P)
-    return out_v, out_f, out_count
+    # Degenerate-pad the ring with the first vertex so later clips are safe.
+    pad = jnp.arange(P) >= out_count
+    out_q = jnp.where(pad[:, None], out_q[0:1], out_q)
+    return out_q, ff[:P], out_count

@@ -344,8 +344,15 @@ for _i, (_ta, _tb, _) in enumerate(_CANONICAL):
 _LUT_J = jnp.asarray(_LUT)
 
 
-def compute_manifold(type_a, pa, qa, prm_a, type_b, pb, qb, prm_b) -> Manifold:
-    """Shape-pair dispatch for one pair (vmap over the pair buffer)."""
+def compute_manifold(
+    type_a, pa, qa, prm_a, type_b, pb, qb, prm_b, shape_pairs=None
+) -> Manifold:
+    """Shape-pair dispatch for one pair (vmap over the pair buffer).
+
+    ``shape_pairs``: optional static tuple of canonical (ta, tb) pairs the
+    scene can produce — only those branches are lowered (see
+    ``PhysicsConfig.shape_pairs``).
+    """
     swap = type_a > type_b
     ta = jnp.where(swap, type_b, type_a)
     tb = jnp.where(swap, type_a, type_b)
@@ -353,10 +360,25 @@ def compute_manifold(type_a, pa, qa, prm_a, type_b, pb, qb, prm_b) -> Manifold:
     qa_, qb_ = jnp.where(swap, qb, qa), jnp.where(swap, qa, qb)
     prm_a_, prm_b_ = jnp.where(swap, prm_b, prm_a), jnp.where(swap, prm_a, prm_b)
 
+    if shape_pairs is None:
+        entries = _CANONICAL
+        lut = _LUT_J
+    else:
+        allowed = {(int(a), int(b)) for (a, b) in shape_pairs}
+        entries = [
+            (a, b, fn) for (a, b, fn) in _CANONICAL if (int(a), int(b)) in allowed
+        ]
+        lut = _np.full(
+            _NUM_DISPATCH_TYPES * _NUM_DISPATCH_TYPES, len(entries), _np.int32
+        )
+        for i, (a, b, _) in enumerate(entries):
+            lut[int(a) * _NUM_DISPATCH_TYPES + int(b)] = i
+        lut = jnp.asarray(lut)
+
     branches = [
-        (lambda args, fn=fn: fn(*args)) for (_, _, fn) in _CANONICAL
+        (lambda args, fn=fn: fn(*args)) for (_, _, fn) in entries
     ] + [lambda args: _unsupported(*args)]
-    code = _LUT_J[
+    code = lut[
         jnp.clip(
             ta * _NUM_DISPATCH_TYPES + tb,
             0,

@@ -62,7 +62,11 @@ def narrow_phase(
 
     # ---- manifolds -----------------------------------------------------
     pos, quat = update_collider_poses(world)
-    manifolds = jax.vmap(compute_manifold)(
+    manifolds = jax.vmap(
+        lambda *args: compute_manifold(
+            *args, shape_pairs=config.shape_pairs
+        )
+    )(
         col.shape_type[ca], pos[ca], quat[ca], col.params[ca],
         col.shape_type[cb], pos[cb], quat[cb], col.params[cb],
     )
@@ -190,4 +194,5 @@ def narrow_phase(
         max_normal_impulse=jnp.zeros_like(warm_np),
         friction=friction,
         restitution=restitution,
+        surface_velocity=jnp.zeros((c_cap, 3), jnp.float32),
     )

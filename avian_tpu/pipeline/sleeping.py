@@ -62,17 +62,15 @@ def compute_islands(bodies: Bodies, contacts: Contacts, joints: Joints):
     ok2 = jnp.concatenate([e_ok, e_ok])
     big = jnp.asarray(n, jnp.int32)
 
-    def round_body(_, label):
+    # Unrolled: gathers/scatters inside XLA loops run far slower than in
+    # straight-line code on this TPU runtime.
+    label = jnp.arange(n, dtype=jnp.int32)
+    for _ in range(_LABEL_ROUNDS):
         incoming = jnp.where(ok2, label[src], big)
         label = label.at[dst].min(incoming)
         # Pointer jumping: labels are body indices, so chase one level.
-        return jnp.minimum(label, label[label])
-
-    import jax
-
-    return jax.lax.fori_loop(
-        0, _LABEL_ROUNDS, round_body, jnp.arange(n, dtype=jnp.int32)
-    )
+        label = jnp.minimum(label, label[label])
+    return label
 
 
 def update_sleeping(

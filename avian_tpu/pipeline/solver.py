@@ -62,7 +62,8 @@ _NM = 60          # 60:64 normal effective mass per point
 _TK = 64          # 64:76 tangent k1,k2,k12 per point
 _NS = 76          # 76:80 initial normal speed per point
 _PM = 80          # 80:84 point mask per point
-_D = 84
+_SV = 84          # 84:87 surface velocity (conveyor belts)
+_D = 87
 
 # imp[C, 16]: 0:4 normal impulse, 4:12 tangent impulse (4 x 2), 12:16 total.
 
@@ -249,7 +250,9 @@ def prepare_constraints(
         ba, bb, dyn_a, dyn_b, solve, b.capacity, config.max_colors
     )
     cap = max(
-        1, (2 * c + config.max_colors - 1) // config.max_colors
+        1,
+        int(config.color_bucket_factor * c + config.max_colors - 1)
+        // config.max_colors,
     )
     buckets, bucket_valid, dropped = _bucketize(
         color, solve, config.max_colors, cap
@@ -274,6 +277,7 @@ def prepare_constraints(
             jnp.stack([k1, k2, k12], axis=-1).reshape(c, 12),  # 64:76
             normal_speed,                        # 76:80
             point_mask,                          # 80:84
+            contacts.surface_velocity,           # 84:87
         ],
         axis=-1,
     )
@@ -380,18 +384,17 @@ def solve_pass(
     )
     max_overlap_speed = config.solver.max_overlap_solve_speed
 
-    def body(c, carry):
-        state, imp = carry
-        d = imp[c]  # dynamic row: sequential read
-        new_state, new_d = _solve_bucket(
-            state, con.data[c], d, con.bucket_a[c], con.bucket_b[c],
+    # Unrolled over colors: gathers inside XLA loops execute ~10-20x slower
+    # than straight-line on this TPU runtime, and this loop is gather-bound.
+    state = state
+    imp_rows = []
+    for c in range(con.data.shape[0]):
+        state, new_d = _solve_bucket(
+            state, con.data[c], con.imp[c], con.bucket_a[c], con.bucket_b[c],
             h, use_bias, max_overlap_speed,
         )
-        return new_state, imp.at[c].set(new_d)
-
-    state, imp = jax.lax.fori_loop(
-        0, con.data.shape[0], body, (state, con.imp)
-    )
+        imp_rows.append(new_d)
+    imp = jnp.stack(imp_rows, axis=0)
     return (
         s.replace(lin_vel=state[:, 0:3], ang_vel=state[:, 3:6]),
         con.replace(imp=imp),
@@ -477,9 +480,11 @@ def _solve_bucket(state, d, irows, a, b, h, use_bias, max_overlap_speed):
         r2 = d[:, _AB + 3 * p:_AB + 3 * p + 3]
         pm = d[:, _PM + p]
 
+        # Friction sees the surface velocity (tangent_velocity, the
+        # conveyor-belt term; tangent_part.rs:206-210).
         rv = (vb + d_vb + jnp.cross(wb + d_wb, r2)) - (
             va + d_va + jnp.cross(wa + d_wa, r1)
-        )
+        ) + d[:, _SV:_SV + 3]
         vt1 = vec.dot(rv, t1)
         vt2 = vec.dot(rv, t2)
 
@@ -527,15 +532,15 @@ def solve_restitution(
     vw = _pack_vw(s)
     imp = con.imp
 
-    def body(c, carry):
-        vw, imp = carry
-        new_vw, new_d = _restitution_bucket(
-            vw, con.data[c], imp[c], con.bucket_a[c], con.bucket_b[c], threshold
-        )
-        return new_vw, imp.at[c].set(new_d)
-
     for _ in range(config.solver.restitution_iterations):
-        vw, imp = jax.lax.fori_loop(0, con.data.shape[0], body, (vw, imp))
+        imp_rows = []
+        for c in range(con.data.shape[0]):
+            vw, new_d = _restitution_bucket(
+                vw, con.data[c], imp[c], con.bucket_a[c], con.bucket_b[c],
+                threshold,
+            )
+            imp_rows.append(new_d)
+        imp = jnp.stack(imp_rows, axis=0)
     return _unpack_vw(s, vw), con.replace(imp=imp)
 
 

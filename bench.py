@@ -28,10 +28,18 @@ def main():
     from avian_tpu.pipeline.step import physics_step, rollout
     from avian_tpu.scenes import cube_pile
 
+    from avian_tpu.core.types import ShapeType
+
     # Reference bench protocol: 60 Hz, SubstepCount(4)
     # (/root/reference/benches/src/dim2/mod.rs:41-49).
-    config = PhysicsConfig(substeps=4)
-    world, ids = cube_pile(n_cubes=N_CUBES, max_contacts=8 * N_CUBES)
+    config = PhysicsConfig(
+        substeps=4,
+        shape_pairs=(
+            (ShapeType.BOX, ShapeType.BOX),
+            (ShapeType.BOX, ShapeType.PLANE),
+        ),
+    )
+    world, ids = cube_pile(n_cubes=N_CUBES, max_contacts=6 * N_CUBES)
 
     step = jax.jit(lambda w: physics_step(w, config))
 
@@ -49,6 +57,17 @@ def main():
     jax.block_until_ready(world.bodies.pos)
     elapsed = time.perf_counter() - t0
 
+    # Validate capacity: no silently dropped pairs (cheap separate check
+    # to avoid recompiling the full step with diagnostics).
+    from avian_tpu.pipeline import broadphase as bp_m
+
+    @jax.jit
+    def check(w):
+        w = bp_m.update_aabbs(w, config)
+        return bp_m.broad_phase(w, config).dropped
+
+    dropped = int(check(world))
+
     steps_per_sec = N_STEPS / elapsed
     body_steps_per_sec = steps_per_sec * N_CUBES
     print(
@@ -61,6 +80,7 @@ def main():
                     body_steps_per_sec / BASELINE_BODY_STEPS_PER_SEC, 3
                 ),
                 "ms_per_step": round(1000.0 * elapsed / N_STEPS, 3),
+                "dropped_pairs": dropped,
                 "device": str(jax.devices()[0]),
             }
         )

@@ -1,0 +1,66 @@
+"""Scene-level acceptance tests: pyramid stability, chain integrity,
+CCD stress (the reference's bench/examples as behavioral specs)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from avian_tpu import BodyType, PhysicsConfig, SceneBuilder, physics_step
+from avian_tpu.core.types import JointType
+from avian_tpu.scenes import box_pyramid, ccd_stress, joint_chain
+
+CFG = PhysicsConfig()
+
+
+def test_pyramid_2d_stable():
+    world, ids = box_pyramid(base=6)
+    for _ in range(240):
+        world = physics_step(world, CFG)
+    pos = np.asarray(world.bodies.pos)[np.asarray(ids)]
+    # Rows stay stacked: every box close to its initial grid position.
+    assert np.all(np.isfinite(pos))
+    # Top box sits near base*size height.
+    top = pos[-1]
+    assert abs(top[1] - 5.5) < 0.2, top
+    assert abs(top[0]) < 0.25, top
+    # Whole pyramid asleep by 4 seconds.
+    assert bool(jnp.all(world.bodies.sleeping[jnp.asarray(ids)]))
+
+
+def test_2d_bodies_stay_planar():
+    b = SceneBuilder()
+    g = b.add_body(body_type=BodyType.STATIC)
+    b.half_space(g, normal=(0, 1, 0))
+    boxes = []
+    for k in range(3):
+        body = b.add_body_2d(pos=(0.3 * (k % 2), 0.55 + 1.1 * k))
+        b.box(body, 0.5, 0.5, 0.5)
+        boxes.append(body)
+    world = b.finalize(max_bodies=8, max_colliders=8, max_contacts=64)
+    for _ in range(180):
+        world = physics_step(world, CFG)
+    pos = np.asarray(world.bodies.pos)[np.asarray(boxes)]
+    np.testing.assert_allclose(pos[:, 2], 0.0, atol=1e-5)  # locked Z
+    quat = np.asarray(world.bodies.quat)[np.asarray(boxes)]
+    np.testing.assert_allclose(quat[:, 0], 0.0, atol=1e-4)  # no X rotation
+    np.testing.assert_allclose(quat[:, 1], 0.0, atol=1e-4)  # no Y rotation
+
+
+def test_ccd_stress_speculative_no_tunneling():
+    world, ids = ccd_stress(n_bullets=8, speed=80.0)
+    cfg = PhysicsConfig()
+    for _ in range(60):
+        world = physics_step(world, cfg)
+    x = np.asarray(world.bodies.pos)[np.asarray(ids), 0]
+    # Bullets started at x=0 moving at 80 m/s toward a thin wall at x=5;
+    # speculative contacts must stop them at the wall (not pass through).
+    assert np.all(x < 5.1), x
+    assert np.all(np.isfinite(x))
+
+
+def test_chain_hangs_connected():
+    world, ids = joint_chain(n_links=8, jtype=JointType.SPHERICAL)
+    for _ in range(240):
+        world = physics_step(world, CFG)
+    pos = np.asarray(world.bodies.pos)
+    gaps = np.linalg.norm(np.diff(pos[1:9], axis=0), axis=-1)
+    np.testing.assert_allclose(gaps, 0.5, atol=0.05)
