@@ -240,6 +240,8 @@ class Contacts:
     # Relative surface velocity (conveyor belts; the reference manifold's
     # ``tangent_velocity``, set via CollisionHooks::modify_contacts).
     surface_velocity: jnp.ndarray  # f32[C, 3]
+    # Persistent constraint-graph color (pipeline.coloring); -1 = none.
+    color: jnp.ndarray  # i32[C]
 
     @property
     def capacity(self) -> int:
@@ -276,6 +278,7 @@ class Contacts:
             friction=jnp.zeros((c,), jnp.float32),
             restitution=jnp.zeros((c,), jnp.float32),
             surface_velocity=jnp.zeros((c, 3), jnp.float32),
+            color=jnp.full((c,), -1, jnp.int32),
         )
 
 
@@ -309,6 +312,8 @@ class Joints:
     # Accumulated Lagrange multipliers for force readback (JointForces):
     # lanes (point_x, point_y, point_z, angular_x, angular_y, angular_z).
     total_lambda: jnp.ndarray  # f32[J, 6]
+    # Persistent constraint-graph color (pipeline.coloring); -1 = none.
+    color: jnp.ndarray  # i32[J]
 
     @property
     def capacity(self) -> int:
@@ -339,6 +344,7 @@ class Joints:
             ang_damping=f1,
             collision_disabled=jnp.zeros((j,), bool),
             total_lambda=jnp.zeros((j, 6), jnp.float32),
+            color=jnp.full((j,), -1, jnp.int32),
         )
 
 

@@ -1,21 +1,30 @@
-"""Vectorized constraint-graph edge coloring.
+"""Persistent constraint-graph edge coloring.
 
-TPU-native re-design of the reference's greedy 24-color constraint graph
-(``src/dynamics/solver/constraint_graph.rs:36-48``): within a color no two
-constraints share a *dynamic* body, so all constraints of a color can apply
-impulses in parallel with provably disjoint scatter writes — the same
-guarantee the reference exploits for `par_for_each` + unchecked access
+TPU-native re-design of the reference's incremental 24-color constraint
+graph (``src/dynamics/solver/constraint_graph.rs:36-48``): within a color no
+two constraints share a *dynamic* body, so all constraints of a color can
+apply impulses in parallel with provably disjoint writes — the guarantee the
+reference exploits for ``par_for_each`` + unchecked access
 (``plugin.rs:494-505``).
 
-Algorithm: Luby-style maximal-independent-set rounds per color — an edge
-joins color `c` if it is the lowest-indexed still-uncolored edge incident to
-each of its dynamic endpoints. The per-body minima run over a fixed-degree
-CSR adjacency built once per step with a single sort, so every MIS round is
-pure gathers + row reductions (TPU scatters with duplicate indices are slow;
-gathers are not). Edges that exceed the degree cap, or remain uncolored
-after ``max_colors - 1`` colors, land in the overflow color, solved with
-accumulated (Jacobi) scatter-adds — the analogue of the reference's
-serially-solved overflow color (``constraint_graph.rs:44-48``).
+Like the reference's graph (which pushes/pops manifolds incrementally),
+colors are PERSISTENT: each contact carries its color across steps
+(``Contacts.color``), matched alongside the warm-start impulses. Per step:
+
+1. build a fixed-degree CSR adjacency over dynamic-body incidences
+   (one sort);
+2. validate carried colors (same-color conflicts within a body's row keep
+   only the lowest-indexed edge — conflicts only arise from sleep/type/
+   dominance transitions, so this is almost always a no-op);
+3. a few rounds of lowest-available-color proposal + per-body winner
+   resolution assign colors to new/demoted edges;
+4. leftovers land in the overflow color, solved with accumulated (Jacobi)
+   scatter-adds — the analogue of the reference's serially-solved overflow
+   color (``constraint_graph.rs:44-48``).
+
+Everything is gathers + row-wise elementwise ops; the per-round dependent
+memory-op chain (the latency limiter on this TPU runtime) is ~5 ops, and in
+steady state one round suffices.
 
 Static/kinematic bodies never receive impulses, so they cause no conflicts —
 ground contacts freely share colors, like the reference's dedicated
@@ -25,11 +34,14 @@ static-contact colors.
 import jax
 import jax.numpy as jnp
 
-_INNER_ROUNDS = 3   # MIS refinement rounds per color
+_ASSIGN_ROUNDS = 3  # proposal rounds for new/demoted edges per step
 MAX_DEGREE = 16     # CSR degree cap per body (pile bodies have ~6-12 contacts)
 
 
-def color_constraints(body_a, body_b, dyn_a, dyn_b, edge_mask, n_bodies, max_colors):
+def color_constraints(
+    body_a, body_b, dyn_a, dyn_b, edge_mask, n_bodies, max_colors,
+    prev_color=None,
+):
     """Assign a color in [0, max_colors) to each edge.
 
     Args:
@@ -37,19 +49,20 @@ def color_constraints(body_a, body_b, dyn_a, dyn_b, edge_mask, n_bodies, max_col
       dyn_a, dyn_b: bool[E] whether each endpoint responds to impulses.
       edge_mask: bool[E] edge participates in solving.
       n_bodies, max_colors: static ints.
+      prev_color: optional i32[E] carried colors (-1 = unassigned).
 
     Returns:
-      color: i32[E] (overflow color for edges that didn't fit),
-      is_overflow: bool[E].
+      color: i32[E] (overflow color = max_colors - 1 for edges that didn't
+      fit), is_overflow: bool[E].
     """
     e = body_a.shape[0]
     d = MAX_DEGREE
+    assignable = max_colors - 1
     edge_idx = jnp.arange(e, dtype=jnp.int32)
     sentinel = jnp.asarray(e, jnp.int32)
 
     # ---- fixed-degree CSR adjacency (one sort per step) ----------------
     bodies2 = jnp.concatenate([body_a, body_b])
-    dyn2 = jnp.concatenate([dyn_a, dyn_b])
     edge2 = jnp.concatenate([edge_idx, edge_idx])
     inc_ok = jnp.concatenate([edge_mask & dyn_a, edge_mask & dyn_b])
 
@@ -65,38 +78,84 @@ def color_constraints(body_a, body_b, dyn_a, dyn_b, edge_mask, n_bodies, max_col
         edge2[order], mode="drop"
     )
     body_edges = table[:-1].reshape(n_bodies, d)  # edge ids; e = empty
+    row_edge = body_edges
 
     # An edge is colorable only if every dynamic endpoint got a CSR slot.
     fit2 = jnp.zeros((2 * e,), bool).at[order].set(slot_ok)
     colorable = edge_mask & (~dyn_a | fit2[:e]) & (~dyn_b | fit2[e:])
 
-    # ---- MIS rounds (gather-only, UNROLLED) ------------------------------
-    # NOTE: unrolled on purpose. On this TPU runtime, dynamic gathers inside
-    # lax.fori_loop/scan bodies execute ~10-20x slower than the same gathers
-    # in straight-line code; these rounds are gather-dominated.
-    color = jnp.full((e,), max_colors - 1, jnp.int32)
-    uncolored = colorable
-    for r in range((max_colors - 1) * _INNER_ROUNDS):
-        c = r // _INNER_ROUNDS
-        if r % _INNER_ROUNDS == 0:
-            body_used = jnp.zeros((n_bodies,), bool)
-
-        cand = (
-            uncolored
-            & ~(dyn_a & body_used[body_a])
-            & ~(dyn_b & body_used[body_b])
+    def unsort_entry_flag(entry_flag):
+        """Map a per-CSR-slot bool [N, D] back to per-edge conjunction."""
+        flat = jnp.concatenate(
+            [entry_flag.reshape(-1), jnp.ones((1,), bool)]
         )
-        key_e = jnp.where(cand, edge_idx, sentinel)
-        key_pad = jnp.concatenate([key_e, sentinel[None]])
-        min_inc = jnp.min(key_pad[body_edges], axis=1)  # [N]
-        sel = cand & (
-            (~dyn_a | (min_inc[body_a] == edge_idx))
-            & (~dyn_b | (min_inc[body_b] == edge_idx))
+        per_entry = flat[jnp.where(slot_ok, slot, n_bodies * d)]
+        back = jnp.zeros((2 * e,), bool).at[order].set(
+            jnp.where(slot_ok, per_entry, True)
         )
-        color = jnp.where(sel, c, color)
-        uncolored = uncolored & ~sel
-        sel_pad = jnp.concatenate([sel, jnp.zeros((1,), bool)])
-        body_used = body_used | jnp.any(sel_pad[body_edges], axis=1)
+        return (~dyn_a | back[:e]) & (~dyn_b | back[e:])
 
-    is_overflow = uncolored | (edge_mask & ~colorable)
+    # ---- 1+2. carry + validate persistent colors ------------------------
+    if prev_color is None:
+        color = jnp.full((e,), -1, jnp.int32)
+    else:
+        carried = jnp.where(
+            colorable & (prev_color >= 0) & (prev_color < assignable),
+            prev_color,
+            -1,
+        )
+        color_pad = jnp.concatenate([carried, jnp.asarray([-2], jnp.int32)])
+        row_color = color_pad[body_edges]  # [N, D]
+        same = (row_color[:, :, None] == row_color[:, None, :]) & (
+            row_color[:, None, :] >= 0
+        )
+        cand = jnp.where(same, row_edge[:, None, :], e)
+        winner = jnp.min(cand, axis=-1)  # [N, D]
+        entry_ok = (row_color < 0) | (winner == row_edge)
+        keep = unsort_entry_flag(entry_ok)
+        color = jnp.where(keep, carried, -1)
+
+    # ---- 3. assign new/demoted edges -------------------------------------
+    color_lanes = jnp.arange(assignable, dtype=jnp.int32)
+    color_pad = jnp.concatenate([color, jnp.asarray([-2], jnp.int32)])
+    row_color = color_pad[body_edges]
+    used = jnp.any(
+        row_color[:, :, None] == color_lanes[None, None, :], axis=1
+    )  # [N, assignable]
+
+    unassigned = colorable & (color < 0)
+    for _ in range(_ASSIGN_ROUNDS):
+        both_avail = (
+            (~used[body_a] | ~dyn_a[:, None])
+            & (~used[body_b] | ~dyn_b[:, None])
+            & unassigned[:, None]
+        )
+        has = jnp.any(both_avail, axis=-1)
+        prop = jnp.where(
+            has, jnp.argmax(both_avail, axis=-1).astype(jnp.int32), -3
+        )
+        prop_pad = jnp.concatenate([prop, jnp.asarray([-4], jnp.int32)])
+        row_prop = prop_pad[body_edges]
+        same = (row_prop[:, :, None] == row_prop[:, None, :]) & (
+            row_prop[:, None, :] >= 0
+        )
+        cand = jnp.where(same, row_edge[:, None, :], e)
+        winner = jnp.min(cand, axis=-1)
+        entry_win = (row_prop < 0) | (winner == row_edge)
+        win = unsort_entry_flag(entry_win) & has & unassigned
+        color = jnp.where(win, prop, color)
+        unassigned = unassigned & ~win
+        # Update the per-body used masks with the newly assigned colors.
+        win_color_pad = jnp.concatenate(
+            [jnp.where(win, prop, -5), jnp.asarray([-6], jnp.int32)]
+        )
+        row_new = win_color_pad[body_edges]
+        used = used | jnp.any(
+            row_new[:, :, None] == color_lanes[None, None, :], axis=1
+        )
+
+    is_overflow = (edge_mask & ~colorable) | unassigned
+    color = jnp.where(
+        edge_mask & (color < 0), max_colors - 1, jnp.where(color < 0, max_colors - 1, color)
+    )
     return color, is_overflow

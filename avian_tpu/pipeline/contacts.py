@@ -126,6 +126,7 @@ def narrow_phase(
     matched = (old.pair_key[old_slot] == bp.pair_key) & (bp.pair_key >= 0)
 
     was_touching = jnp.where(matched, old.touching[old_slot], False)
+    carried_color = jnp.where(matched, old.color[old_slot], -1)
 
     # ---- per-point warm-start matching ----------------------------------
     # For each new point, find an old point with the same feature id; fall
@@ -195,4 +196,5 @@ def narrow_phase(
         friction=friction,
         restitution=restitution,
         surface_velocity=jnp.zeros((c_cap, 3), jnp.float32),
+        color=carried_color,
     )

@@ -26,6 +26,7 @@ from avian_tpu.core.state import Bodies, Contacts, Joints
 # 1-hop relax + pointer jumping per round; pointer jumping doubles reach, so
 # 10 rounds cover chains far beyond any practical island diameter.
 _LABEL_ROUNDS = 10
+_MAX_DEGREE = 24  # neighbor-table cap; overflowing bodies never sleep
 
 
 def compute_islands(bodies: Bodies, contacts: Contacts, joints: Joints):
@@ -55,29 +56,46 @@ def compute_islands(bodies: Bodies, contacts: Contacts, joints: Joints):
     eb = jnp.concatenate([cb, jb])
     e_ok = jnp.concatenate([c_ok, j_ok])
 
-    # Fold both edge directions into one incidence: one scatter-min and one
-    # gather per round instead of two of each.
+    # Build a fixed-degree neighbor table once (one sort), so each label
+    # round is a [N, D] gather + row-min — duplicate-index scatter-mins are
+    # slow on TPU. Bodies whose adjacency overflows the degree cap are
+    # reported so sleeping can be conservatively disabled for them.
     src = jnp.concatenate([ea, eb])
     dst = jnp.concatenate([eb, ea])
     ok2 = jnp.concatenate([e_ok, e_ok])
-    big = jnp.asarray(n, jnp.int32)
+    d = _MAX_DEGREE
+    key = jnp.where(ok2, dst, n)
+    order = jnp.argsort(key, stable=True)
+    sorted_key = key[order]
+    starts = jnp.searchsorted(sorted_key, jnp.arange(n + 1))
+    rank = jnp.arange(src.shape[0]) - starts[jnp.clip(sorted_key, 0, n)]
+    slot_ok = (rank < d) & (sorted_key < n)
+    slot = jnp.clip(sorted_key, 0, n - 1) * d + rank
+    table = jnp.full((n * d + 1,), n, jnp.int32)
+    table = table.at[jnp.where(slot_ok, slot, n * d)].set(
+        src[order].astype(jnp.int32), mode="drop"
+    )
+    neighbors = table[:-1].reshape(n, d)  # neighbor body ids; n = empty
+    overflow_body = jnp.zeros((n + 1,), bool).at[
+        jnp.where(slot_ok | ~ok2, n, jnp.clip(sorted_key, 0, n))
+    ].set(True, mode="drop")[:n]
 
-    # Unrolled: gathers/scatters inside XLA loops run far slower than in
-    # straight-line code on this TPU runtime.
     label = jnp.arange(n, dtype=jnp.int32)
+    label_pad = None
     for _ in range(_LABEL_ROUNDS):
-        incoming = jnp.where(ok2, label[src], big)
-        label = label.at[dst].min(incoming)
+        label_pad = jnp.concatenate([label, jnp.asarray([n], jnp.int32)])
+        label = jnp.minimum(label, jnp.min(label_pad[neighbors], axis=1))
         # Pointer jumping: labels are body indices, so chase one level.
         label = jnp.minimum(label, label[label])
-    return label
+    return label, overflow_body
 
 
 def update_sleeping(
     bodies: Bodies, contacts: Contacts, joints: Joints, config: PhysicsConfig
 ) -> Bodies:
     if not config.sleeping_enabled:
-        return bodies.replace(island=compute_islands(bodies, contacts, joints))
+        island, _ = compute_islands(bodies, contacts, joints)
+        return bodies.replace(island=island)
 
     n = bodies.capacity
     lin_t = config.sleep_linear_threshold * config.length_unit
@@ -90,10 +108,12 @@ def update_sleeping(
     )
     timer = jnp.where(below, bodies.sleep_timer + config.dt, 0.0)
 
-    island = compute_islands(bodies, contacts, joints)
+    island, overflow = compute_islands(bodies, contacts, joints)
 
     # An island can sleep iff all its non-static members are sleep-ready.
-    ready = timer >= config.time_to_sleep
+    # Bodies whose adjacency overflowed the island neighbor table might be
+    # connected to awake bodies we can't see -> conservatively not ready.
+    ready = (timer >= config.time_to_sleep) & ~overflow
     considered = bodies.active & (bodies.body_type != types.BodyType.STATIC)
     all_ready = jnp.ones((n,), bool).at[island].min(
         jnp.where(considered, ready, True)

@@ -107,6 +107,7 @@ class ContactConstraints:
     body_a: jnp.ndarray   # i32[C]
     body_b: jnp.ndarray   # i32[C]
     mask: jnp.ndarray     # f32[C]
+    color_c: jnp.ndarray  # i32[C] per-constraint color (persisted to Contacts)
     base_imp: jnp.ndarray  # f32[C, 16] impulses for constraints in no bucket
     data: jnp.ndarray     # f32[num_colors, cap, D] color-bucketed static data
     imp: jnp.ndarray      # f32[num_colors, cap, 16] bucketed mutable impulses
@@ -245,9 +246,10 @@ def prepare_constraints(
         & solve[:, None]
     ).astype(jnp.float32)
 
-    # Coloring + bucketing on solvable pairs.
+    # Coloring + bucketing on solvable pairs (persistent colors).
     color, _overflow = color_constraints(
-        ba, bb, dyn_a, dyn_b, solve, b.capacity, config.max_colors
+        ba, bb, dyn_a, dyn_b, solve, b.capacity, config.max_colors,
+        prev_color=contacts.color,
     )
     cap = max(
         1,
@@ -305,6 +307,7 @@ def prepare_constraints(
         body_a=ba,
         body_b=bb,
         mask=solve.astype(jnp.float32),
+        color_c=jnp.where(solve, color, -1),
         base_imp=imp,
         data=data_b,
         imp=imp_b,
@@ -616,4 +619,5 @@ def store_impulses(contacts: Contacts, con: ContactConstraints) -> Contacts:
         normal_impulse=imp[:, 0:4],
         tangent_impulse=imp[:, 4:12].reshape(c, 4, 2),
         max_normal_impulse=imp[:, 12:16],
+        color=con.color_c,
     )

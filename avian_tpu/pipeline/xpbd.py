@@ -74,6 +74,7 @@ class JointConstraints:
     inv_inertia_b: jnp.ndarray  # f32[J, 6]
     total_pos_lagrange: jnp.ndarray  # f32[J, 3]
     total_rot_lagrange: jnp.ndarray  # f32[J, 3]
+    color_j: jnp.ndarray  # i32[J] persisted back to Joints
 
     def replace(self, **kw):
         return replace(self, **kw)
@@ -102,7 +103,8 @@ def prepare_joints(world: World, s: SolverState, config: PhysicsConfig) -> Joint
     basis_b_w = quat_m.mul(qb, j.frame_quat_b)
 
     color, _ = color_constraints(
-        ba, bb, dyn_a, dyn_b, mask, b.capacity, config.max_colors
+        ba, bb, dyn_a, dyn_b, mask, b.capacity, config.max_colors,
+        prev_color=j.color,
     )
 
     return JointConstraints(
@@ -133,6 +135,7 @@ def prepare_joints(world: World, s: SolverState, config: PhysicsConfig) -> Joint
         inv_inertia_b=s.inv_inertia[bb],
         total_pos_lagrange=jnp.zeros((j.capacity, 3), jnp.float32),
         total_rot_lagrange=jnp.zeros((j.capacity, 3), jnp.float32),
+        color_j=jnp.where(mask, color, -1),
     )
 
 
@@ -437,4 +440,4 @@ def store_joint_forces(joints: Joints, jc: JointConstraints, config: PhysicsConf
     total = jnp.concatenate(
         [jc.total_pos_lagrange * rhs, jc.total_rot_lagrange * rhs], axis=-1
     )
-    return joints.replace(total_lambda=total)
+    return joints.replace(total_lambda=total, color=jc.color_j)
