@@ -47,7 +47,7 @@ def cube_pile(
     world = b.finalize(
         max_bodies=n_cubes + 1,
         max_colliders=n_cubes + 1,
-        max_contacts=max_contacts or max(6 * n_cubes, 64),
+        max_contacts=max_contacts or max(8 * n_cubes, 64),
     )
     return world, ids
 

@@ -39,7 +39,7 @@ def main():
             (ShapeType.BOX, ShapeType.PLANE),
         ),
     )
-    world, ids = cube_pile(n_cubes=N_CUBES, max_contacts=6 * N_CUBES)
+    world, ids = cube_pile(n_cubes=N_CUBES, max_contacts=8 * N_CUBES)
 
     step = jax.jit(lambda w: physics_step(w, config))
 
@@ -51,11 +51,22 @@ def main():
         world = step(world)
     jax.block_until_ready(world.bodies.pos)
 
+    t_before = float(world.time)
     t0 = time.perf_counter()
     for _ in range(N_STEPS):
         world = step(world)
     jax.block_until_ready(world.bodies.pos)
     elapsed = time.perf_counter() - t0
+
+    # Sanity: the simulation must actually have advanced and stayed finite
+    # (guards against degenerate executables from remote-compile flakes).
+    import numpy as np
+
+    t_after = float(world.time)
+    assert abs(t_after - t_before - N_STEPS / 60.0) < 1e-3, (
+        f"sim time did not advance correctly: {t_before} -> {t_after}"
+    )
+    assert bool(np.isfinite(np.asarray(world.bodies.pos)).all()), "NaN state"
 
     # Validate capacity: no silently dropped pairs (cheap separate check
     # to avoid recompiling the full step with diagnostics).
