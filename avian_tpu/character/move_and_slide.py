@@ -17,7 +17,7 @@ from avian_tpu.geometry.narrowphase import compute_manifold
 from avian_tpu.math import vec
 from avian_tpu.pipeline.broadphase import update_collider_poses
 from avian_tpu.queries.filter import QueryFilter, collider_query_mask
-from avian_tpu.queries.shapecast import cast_shape
+from avian_tpu.queries.shapecast import _cast_pairs, cast_shape
 
 
 @dataclass(frozen=True)
@@ -57,10 +57,12 @@ def project_velocity(velocity, normal, prev_normals, num_prev):
 def depenetrate(
     world, shape_type, params, pos, quat,
     qfilter: QueryFilter = None, iters: int = 2, skin: float = 0.01,
+    shape_pairs=None,
 ):
     """Push the shape out of all overlapping colliders
     (``move_and_slide.rs:868``)."""
     qfilter = qfilter if qfilter is not None else QueryFilter()
+    pairs = _cast_pairs(world, int(shape_type), shape_pairs)
     col = world.colliders
     cpos, cquat = update_collider_poses(world)
     ok = collider_query_mask(col, qfilter)
@@ -73,7 +75,7 @@ def depenetrate(
 
     def one_iter(_, p):
         def against(ct, cp, cq, cprm, valid):
-            m = compute_manifold(st, p, quat, prm, ct, cp, cq, cprm)
+            m = compute_manifold(st, p, quat, prm, ct, cp, cq, cprm, shape_pairs=pairs)
             sep = jnp.min(m.separation)
             push = jnp.where(
                 valid & (sep < skin), (skin - sep), 0.0

@@ -203,6 +203,22 @@ class SceneBuilder:
         collision_margin: float = 0.0,
         speculative_margin: float = _INF,
     ) -> int:
+        # Loud failure for shapes with no narrowphase support: a collider
+        # that silently produces no contacts falls through the world.
+        supported = (
+            ShapeType.SPHERE,
+            ShapeType.CAPSULE,
+            ShapeType.BOX,
+            ShapeType.PLANE,
+            ShapeType.CYLINDER,
+            ShapeType.CONE,
+        )
+        if ShapeType(int(shape)) not in supported:
+            raise ValueError(
+                f"shape {ShapeType(int(shape)).name} has no narrowphase "
+                f"support yet; supported: "
+                f"{', '.join(s.name for s in supported)}"
+            )
         p = np.zeros(4, np.float32)
         pa = np.asarray(params, np.float32).reshape(-1)
         p[: pa.shape[0]] = pa
@@ -247,6 +263,10 @@ class SceneBuilder:
 
     def cylinder(self, body, radius, height, **kw):
         return self.add_collider(body, ShapeType.CYLINDER, (height / 2, radius), **kw)
+
+    def cone(self, body, radius, height, **kw):
+        """Cone with base disc at local y=-height/2, apex at +height/2."""
+        return self.add_collider(body, ShapeType.CONE, (height / 2, radius), **kw)
 
     # ------------------------------------------------------------------
     def add_joint(
@@ -491,6 +511,8 @@ class SceneBuilder:
             colliders=colliders,
             joints=joints,
             gravity=jnp.asarray(self.gravity, jnp.float32),
+            # Static metadata: only these narrowphase branches get lowered.
+            shape_pairs=self.shape_pairs(),
         )
 
 

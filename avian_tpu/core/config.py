@@ -60,10 +60,11 @@ class PhysicsConfig:
 
     # --- TPU-native scheduling knobs (no reference counterpart) ---
     # Maximum constraint-graph colors; edges that don't fit fall into the
-    # final color, solved with a masked Jacobi-style update. The reference
-    # uses 24 greedy colors + a serial overflow color
-    # (``constraint_graph.rs:39-48``).
-    max_colors: int = 8
+    # final color, solved with an under-relaxed (averaged-Jacobi) update.
+    # The reference uses 24 greedy colors + a serial overflow color
+    # (``constraint_graph.rs:39-48``). Settled piles need >= max body
+    # contact degree assignable colors for the overflow to stay near-empty.
+    max_colors: int = 12
     # Per-color bucket capacity = factor * C / max_colors. Colors are rarely
     # balanced (ground contacts don't conflict and crowd one color), so >1.
     # Overflowing constraints fall into later buckets or are dropped

@@ -348,10 +348,15 @@ class Joints:
         )
 
 
-@_register
 @dataclass(frozen=True)
 class World:
-    """Everything dynamic, in one pytree. ``step(world, config) -> world``."""
+    """Everything dynamic, in one pytree. ``step(world, config) -> world``.
+
+    ``shape_pairs`` is *static* metadata (not a leaf): the canonical
+    (type_a <= type_b) shape pairs this scene can produce, derived by
+    ``SceneBuilder.finalize``. The narrowphase only lowers those dispatch
+    branches, keeping compiles lean. ``None`` = unknown = all branches.
+    """
 
     bodies: Bodies
     colliders: Colliders
@@ -359,6 +364,7 @@ class World:
     joints: Joints
     gravity: jnp.ndarray  # f32[3] (Gravity resource, default (0, -9.81, 0))
     time: jnp.ndarray     # f32[] accumulated simulated time
+    shape_pairs: tuple | None = None
 
     def replace(self, **kw):
         return replace(self, **kw)
@@ -380,3 +386,12 @@ class World:
             gravity=jnp.asarray([0.0, -9.81, 0.0], jnp.float32),
             time=jnp.zeros((), jnp.float32),
         )
+
+
+jax.tree_util.register_dataclass(
+    World,
+    data_fields=[
+        "bodies", "colliders", "contacts", "joints", "gravity", "time"
+    ],
+    meta_fields=["shape_pairs"],
+)

@@ -19,6 +19,8 @@ Conventions:
 
 from dataclasses import dataclass, fields
 
+import numpy as _np
+
 import jax
 import jax.numpy as jnp
 
@@ -27,7 +29,11 @@ from avian_tpu.math import quat as quat_m
 from avian_tpu.math import vec
 
 MAX_POINTS = 4
-_X = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
+# NOTE: module-level constants MUST be numpy, not jnp: a device-array
+# constant captured into a jitted program permanently degrades the TPU
+# runtime's dispatch path (measured ~100x on every subsequent kernel
+# launch). Host numpy constants fold into HLO literals and are safe.
+_X = _np.asarray([1.0, 0.0, 0.0], _np.float32)
 
 
 def _register(cls):
@@ -52,7 +58,7 @@ class Manifold:
 
 def _empty() -> Manifold:
     return Manifold(
-        normal=_X,
+        normal=jnp.asarray(_X),
         point_a=jnp.zeros((4, 3), jnp.float32),
         point_b=jnp.zeros((4, 3), jnp.float32),
         separation=jnp.full((4,), 1e9, jnp.float32),
@@ -227,7 +233,7 @@ def capsule_plane(pa, qa, prm_a, pb, qb, prm_b) -> Manifold:
     )
 
 
-_BOX_CORNERS = jnp.asarray(
+_BOX_CORNERS = _np.asarray(
     [
         [-1.0, -1.0, -1.0],
         [1.0, -1.0, -1.0],
@@ -238,7 +244,7 @@ _BOX_CORNERS = jnp.asarray(
         [-1.0, 1.0, 1.0],
         [1.0, 1.0, 1.0],
     ],
-    jnp.float32,
+    _np.float32,
 )
 
 
@@ -296,6 +302,24 @@ def capsule_box(pa, qa, prm_a, pb, qb, prm_b) -> Manifold:
 # box_box lives in its own module (SAT + clipping).
 from avian_tpu.geometry.box_box import box_box  # noqa: E402
 
+# Generic support-mapped convex pairs (GJK/MPR-free fixed-iteration path,
+# replacing Parry's support-map dispatch ``contact_query.rs:190-225``).
+from avian_tpu.geometry import convex as _cx  # noqa: E402
+
+_SHAPE_SUPPORT = {
+    ShapeType.SPHERE: (_cx.support_sphere, _cx.patch_sphere),
+    ShapeType.CAPSULE: (_cx.support_capsule, _cx.patch_capsule),
+    ShapeType.BOX: (_cx.support_box, _cx.patch_box),
+    ShapeType.CYLINDER: (_cx.support_cylinder, _cx.patch_cylinder),
+    ShapeType.CONE: (_cx.support_cone, _cx.patch_cone),
+}
+
+
+def _generic(ta, tb):
+    sa, fa = _SHAPE_SUPPORT[ta]
+    sb, fb = _SHAPE_SUPPORT[tb]
+    return _cx.generic_convex_pair(sa, fa, sb, fb)
+
 
 def _swapped(fn):
     def wrapper(pa, qa, prm_a, pb, qb, prm_b):
@@ -326,22 +350,34 @@ _CANONICAL = [
     (ShapeType.SPHERE, ShapeType.CAPSULE, sphere_capsule),
     (ShapeType.SPHERE, ShapeType.BOX, sphere_box),
     (ShapeType.SPHERE, ShapeType.PLANE, sphere_plane),
+    (ShapeType.SPHERE, ShapeType.CYLINDER, _generic(ShapeType.SPHERE, ShapeType.CYLINDER)),
+    (ShapeType.SPHERE, ShapeType.CONE, _generic(ShapeType.SPHERE, ShapeType.CONE)),
     (ShapeType.CAPSULE, ShapeType.CAPSULE, capsule_capsule),
-    (ShapeType.CAPSULE, ShapeType.BOX, capsule_box),
+    (ShapeType.CAPSULE, ShapeType.BOX, _generic(ShapeType.CAPSULE, ShapeType.BOX)),
     (ShapeType.CAPSULE, ShapeType.PLANE, capsule_plane),
+    (ShapeType.CAPSULE, ShapeType.CYLINDER, _generic(ShapeType.CAPSULE, ShapeType.CYLINDER)),
+    (ShapeType.CAPSULE, ShapeType.CONE, _generic(ShapeType.CAPSULE, ShapeType.CONE)),
     (ShapeType.BOX, ShapeType.BOX, box_box),
     (ShapeType.BOX, ShapeType.PLANE, box_plane),
+    (ShapeType.BOX, ShapeType.CYLINDER, _generic(ShapeType.BOX, ShapeType.CYLINDER)),
+    (ShapeType.BOX, ShapeType.CONE, _generic(ShapeType.BOX, ShapeType.CONE)),
+    (ShapeType.PLANE, ShapeType.CYLINDER,
+     _swapped(_cx.support_patch_plane_pair(_cx.support_cylinder, _cx.patch_cylinder))),
+    (ShapeType.PLANE, ShapeType.CONE,
+     _swapped(_cx.support_patch_plane_pair(_cx.support_cone, _cx.patch_cone))),
+    (ShapeType.CYLINDER, ShapeType.CYLINDER, _generic(ShapeType.CYLINDER, ShapeType.CYLINDER)),
+    (ShapeType.CYLINDER, ShapeType.CONE, _generic(ShapeType.CYLINDER, ShapeType.CONE)),
+    (ShapeType.CONE, ShapeType.CONE, _generic(ShapeType.CONE, ShapeType.CONE)),
 ]
 
-_NUM_DISPATCH_TYPES = 4  # sphere, capsule, box, plane for now
+_NUM_DISPATCH_TYPES = 6  # sphere, capsule, box, plane, cylinder, cone
 
 # LUT: canonical (ta, tb) code -> branch index; unsupported -> last branch.
-import numpy as _np
 
 _LUT = _np.full(_NUM_DISPATCH_TYPES * _NUM_DISPATCH_TYPES, len(_CANONICAL), _np.int32)
 for _i, (_ta, _tb, _) in enumerate(_CANONICAL):
     _LUT[int(_ta) * _NUM_DISPATCH_TYPES + int(_tb)] = _i
-_LUT_J = jnp.asarray(_LUT)
+# (indexed with tracers inside compute_manifold via jnp.asarray there)
 
 
 def compute_manifold(
@@ -362,7 +398,7 @@ def compute_manifold(
 
     if shape_pairs is None:
         entries = _CANONICAL
-        lut = _LUT_J
+        lut = jnp.asarray(_LUT)  # inside-trace: folds to an HLO literal
     else:
         allowed = {(int(a), int(b)) for (a, b) in shape_pairs}
         entries = [

@@ -139,7 +139,14 @@ def mass_properties(shape_type, params, density):
         [i_sphere3, i_box3, i_cap3, i_cyl3, i_cone3],
         default=jnp.zeros_like(i_box3),
     )
+    # COM is the local origin for all primitives except the cone (base at
+    # y=-h, apex at +h -> centroid at y=-h/2).
     com = jnp.zeros(params.shape[:-1] + (3,), params.dtype)
+    cone_com = jnp.stack(
+        [jnp.zeros_like(r), -0.5 * params[..., 0], jnp.zeros_like(r)],
+        axis=-1,
+    )
+    com = jnp.where((st == ShapeType.CONE)[..., None], cone_com, com)
     return mass, sym3.from_diag(inertia3), com
 
 

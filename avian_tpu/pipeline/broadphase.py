@@ -1,19 +1,32 @@
-"""Broadphase: sort-based sweep-and-prune into a fixed-capacity pair buffer.
+"""Broadphase: uniform-grid cell list into a fixed-capacity pair buffer.
 
-TPU-native re-design of the reference's x-axis sweep-and-prune
-(``src/collision/broad_phase.rs:373-474``): instead of an insertion-sorted
-interval list with serial pair emission, we
+TPU-native replacement for the reference's x-axis sweep-and-prune
+(``src/collision/broad_phase.rs:373-474``). A windowed sweep along any
+1D order (x, or a Morton curve) systematically misses pairs in dense 3D
+scenes — more than a window's worth of colliders can separate two
+overlapping AABBs in the order. The cell list is *complete* by
+construction:
 
-1. sort colliders by AABB min-x (XLA sort — deterministic),
-2. test each collider against the next ``sap_window`` colliders in sorted
-   order (windowed candidate generation, all pairs at once on the VPU),
-3. compact valid candidates into the fixed contact-pair buffer with a
-   validity-keyed sort (the deterministic replacement for serial pair
-   creation, SURVEY.md §2c item 4).
+1. cell size = the largest finite-collider AABB extent, so every AABB
+   overlaps at most 2 cells per axis = 8 cells; each collider emits one
+   entry per overlapped cell (a fixed [M, 8] table),
+2. entries are sorted by packed cell id (XLA sort — deterministic), so
+   all entries of one cell are contiguous; every overlapping pair
+   co-occupies at least one cell and is at most a run-length apart,
+3. candidate pairs are the ``sap_window`` following entries with the same
+   cell id; each pair is emitted only in its *canonical* cell (the cell
+   containing ``max(aabb_min_a, aabb_min_b)``) so no duplicates arise,
+4. valid candidates are compacted into the fixed contact-pair buffer with
+   an exclusive-prefix-sum scatter (deterministic order; the replacement
+   for serial pair creation, SURVEY.md §2c item 4).
 
-Colliders with unbounded AABBs (half-spaces) are excluded from the sweep and
-paired densely against everything in a separate pass, so a ground plane
-doesn't blow up the sweep window.
+A run longer than the window (many tiny colliders crowding one cell) is
+*detected* and reported via ``dropped`` so capacity bugs are loud, never
+silent.
+
+Colliders with unbounded AABBs (half-spaces) or AABBs that rival the scene
+extent are excluded from the grid and paired densely against everything in
+a separate pass, so a ground plane doesn't blow up the cell size.
 
 Pair filtering matches the reference: layer masks (``layers.rs:423``), both
 bodies non-dynamic, self-pairs within one body, sensor handling, and
@@ -21,6 +34,8 @@ joint-disabled contacts (``broad_phase.rs:417-439``).
 """
 
 from dataclasses import dataclass, fields
+
+import numpy as _np
 
 import jax
 import jax.numpy as jnp
@@ -33,15 +48,11 @@ from avian_tpu.math import quat as quat_m
 
 MAX_GLOBALS = 8  # max colliders with unbounded AABBs (ground planes etc.)
 
-
-def _expand_bits(v):
-    """Spread the low 10 bits of ``v`` so consecutive bits are 3 apart
-    (Morton encoding helper)."""
-    v = (v | (v << 16)) & 0x030000FF
-    v = (v | (v << 8)) & 0x0300F00F
-    v = (v | (v << 4)) & 0x030C30C3
-    v = (v | (v << 2)) & 0x09249249
-    return v
+# The 8 cells an AABB spanning <= 2 cells per axis can overlap.
+_CELL_OFFSETS = _np.asarray(
+    [[dx, dy, dz] for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)],
+    _np.int32,
+)
 
 
 def _register(cls):
@@ -158,48 +169,76 @@ def broad_phase(world: World, config: PhysicsConfig) -> BroadPhaseResult:
     is_global = is_plane | is_big
     in_sweep = col.active & ~is_global
 
-    # ---- windowed sweep in Morton (Z-curve) order ---------------------
-    # The reference sweeps along min-x (``broad_phase.rs:373-474``), which
-    # works for its serial interval list but is catastrophic for a windowed
-    # sweep on grid-like scenes (hundreds of colliders share one x slice).
-    # Sorting by the Morton code of the AABB center keeps 3D-adjacent
-    # colliders adjacent in the order, so a modest window finds all local
-    # pairs. Deterministic: stable sort on the code.
-    center = 0.5 * (col.aabb_min + col.aabb_max)
-    lo_w = jnp.min(
-        jnp.where(in_sweep[:, None], center, jnp.inf), axis=0
+    # ---- uniform-grid cell list ----------------------------------------
+    # Cell size = largest in-grid AABB extent -> every AABB spans <= 2
+    # cells per axis, so [M, 8] entries cover all cell overlaps exactly.
+    ext_axis = col.aabb_max - col.aabb_min
+    cell = 1.001 * jnp.maximum(
+        jnp.max(jnp.where(in_sweep[:, None], ext_axis, 0.0)), 1e-3
     )
-    hi_w = jnp.max(
-        jnp.where(in_sweep[:, None], center, -jnp.inf), axis=0
+    i0 = jnp.floor(col.aabb_min / cell).astype(jnp.int32)  # [m, 3]
+    i1 = jnp.floor(col.aabb_max / cell).astype(jnp.int32)  # [m, 3]
+    cc = i0[:, None, :] + jnp.asarray(_CELL_OFFSETS)[None, :, :]  # [m, 8, 3]
+    entry_ok = jnp.all(cc <= i1[:, None, :], axis=-1) & in_sweep[:, None]
+    # Pack wrapped 10-bit coords; wrap collisions merge far-apart cells,
+    # which only adds candidates that the AABB test rejects.
+    ckey = (
+        ((cc[..., 0] & 1023) << 20)
+        | ((cc[..., 1] & 1023) << 10)
+        | (cc[..., 2] & 1023)
     )
-    extent = jnp.maximum(hi_w - lo_w, 1e-6)
-    q = jnp.clip(
-        ((center - lo_w) / extent * 1023.0).astype(jnp.int32), 0, 1023
-    )
-    sort_key = jnp.where(
-        in_sweep,
-        (_expand_bits(q[:, 0]) << 2)
-        | (_expand_bits(q[:, 1]) << 1)
-        | _expand_bits(q[:, 2]),
-        jnp.iinfo(jnp.int32).max,
-    )
-    order = jnp.argsort(sort_key, stable=True)
-    s_min = col.aabb_min[order]
-    s_max = col.aabb_max[order]
-    s_ok = in_sweep[order]
+    sentinel = jnp.iinfo(jnp.int32).max
+    ckey = jnp.where(entry_ok, ckey, sentinel)  # [m, 8]
 
-    # Candidate (i, i+k) for k in 1..w over sorted order — one vectorized
-    # [m, w] computation (no per-k op chains).
-    i2 = jnp.arange(m)[:, None]                       # [m, 1]
+    order = jnp.argsort(ckey.reshape(-1), stable=True)  # [8m]
+    skey = ckey.reshape(-1)[order]
+    scol = (order // 8).astype(jnp.int32)  # collider id per sorted entry
+    n_e = 8 * m
+
+    # Window over following entries of the SAME cell. Runs longer than the
+    # window are detected below and surfaced through `dropped`.
+    i2 = jnp.arange(n_e)[:, None]                     # [8m, 1]
     k2 = jnp.arange(1, w + 1)[None, :]                # [1, w]
-    jdx = jnp.minimum(i2 + k2, m - 1)                 # [m, w]
-    win_a = jnp.broadcast_to(order[:, None], (m, w))
-    win_b = order[jdx]
+    jdx = jnp.minimum(i2 + k2, n_e - 1)               # [8m, w]
+    win_a = jnp.broadcast_to(scol[:, None], (n_e, w))
+    win_b = scol[jdx]
+    same_cell = (skey[jdx] == skey[:, None]) & (skey[:, None] != sentinel)
     overlap = jnp.all(
-        (s_min[jdx] <= s_max[:, None, :]) & (s_min[:, None, :] <= s_max[jdx]),
+        (col.aabb_min[win_b] <= col.aabb_max[win_a])
+        & (col.aabb_min[win_a] <= col.aabb_max[win_b]),
         axis=-1,
     )
-    win_ok = (i2 + k2 < m) & s_ok[:, None] & s_ok[jdx] & overlap
+    # Canonical-cell emission: accept the pair only in the cell containing
+    # max(aabb_min_a, aabb_min_b) so each pair is emitted exactly once.
+    # floor is monotone, so that cell is just the per-axis max of the two
+    # colliders' min-cells — and for overlapping AABBs it is always a
+    # shared cell (amin_b <= amax_a per axis implies i0_b <= i1_a).
+    canon = jnp.maximum(i0[win_a], i0[win_b])
+    canon_key = (
+        ((canon[..., 0] & 1023) << 20)
+        | ((canon[..., 1] & 1023) << 10)
+        | (canon[..., 2] & 1023)
+    )
+    win_ok = (
+        (i2 + k2 < n_e)
+        & same_cell
+        & (win_a != win_b)
+        & overlap
+        & (canon_key == skey[:, None])
+    )
+
+    # Window-overflow detection: an entry whose rank within its cell run
+    # exceeds the window may have missed a predecessor pair.
+    new_run = jnp.concatenate(
+        [jnp.ones((1,), bool), skey[1:] != skey[:-1]]
+    )
+    run_start = jax.lax.cummax(
+        jnp.where(new_run, jnp.arange(n_e), 0)
+    )
+    rank = jnp.arange(n_e) - run_start
+    window_overflow = jnp.sum(
+        ((rank > w) & (skey != sentinel)).astype(jnp.int32)
+    )
 
     # ---- dense pass vs global colliders (planes), vectorized [G, m] ----
     g_cap = min(MAX_GLOBALS, m)
@@ -229,36 +268,35 @@ def broad_phase(world: World, config: PhysicsConfig) -> BroadPhaseResult:
 
     ok = ok & _pair_filters(world, ca, cb)
 
-    # Canonical order (a < b) and pair key.
+    # Canonical order (a < b) and pair key. Canonical-cell emission already
+    # dedupes grid pairs; the global pass cannot duplicate grid pairs
+    # (globals are excluded from the grid).
     lo = jnp.minimum(ca, cb)
     hi = jnp.maximum(ca, cb)
-    key = jnp.where(ok, lo * m + hi, jnp.iinfo(jnp.int32).max)
+    key = lo * m + hi
 
-    # Deterministic compaction: sort by key, take the first c_cap.
-    # Sorting by key also dedupes adjacent duplicates cheaply.
-    sort_idx = jnp.argsort(key)
-    key_s = key[sort_idx]
-    dup = jnp.concatenate(
-        [jnp.zeros((1,), bool), key_s[1:] == key_s[:-1]]
+    # Deterministic compaction: exclusive prefix sum over validity gives
+    # each valid candidate its output slot (fixed traversal order).
+    slot_end = jnp.cumsum(ok.astype(jnp.int32))
+    total_valid = slot_end[-1]
+    slot = jnp.where(ok, slot_end - 1, c_cap)
+    a_f = jnp.zeros((c_cap,), jnp.int32).at[slot].set(
+        jnp.asarray(ca, jnp.int32), mode="drop"
     )
-    key_s = jnp.where(dup, jnp.iinfo(jnp.int32).max, key_s)
-    # Re-sort to push dropped duplicates to the end.
-    resort = jnp.argsort(key_s)
-    key_f = key_s[resort][:c_cap]
-    valid = key_f != jnp.iinfo(jnp.int32).max
-    a_f = (key_f // m).astype(jnp.int32)
-    b_f = (key_f % m).astype(jnp.int32)
-    a_f = jnp.where(valid, a_f, 0)
-    b_f = jnp.where(valid, b_f, 0)
-
-    total_valid = jnp.sum((key_s != jnp.iinfo(jnp.int32).max).astype(jnp.int32))
-    num = jnp.sum(valid.astype(jnp.int32))
+    b_f = jnp.zeros((c_cap,), jnp.int32).at[slot].set(
+        jnp.asarray(cb, jnp.int32), mode="drop"
+    )
+    key_f = jnp.full((c_cap,), -1, jnp.int32).at[slot].set(
+        key.astype(jnp.int32), mode="drop"
+    )
+    num = jnp.minimum(total_valid, c_cap)
+    valid = jnp.arange(c_cap) < num
 
     return BroadPhaseResult(
         collider_a=a_f,
         collider_b=b_f,
-        pair_key=jnp.where(valid, key_f, -1),
+        pair_key=key_f,
         valid=valid,
         num_pairs=num,
-        dropped=total_valid - num,
+        dropped=(total_valid - num) + window_overflow,
     )

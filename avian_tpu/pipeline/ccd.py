@@ -68,6 +68,11 @@ def solve_swept_ccd(world: World, s: SolverState, config: PhysicsConfig) -> Solv
                     col.shape_type[i], pos0[i] + d * t, quat0[i],
                     col.params[i],
                     col.shape_type[j], pos0[j], quat0[j], col.params[j],
+                    shape_pairs=(
+                        config.shape_pairs
+                        if config.shape_pairs is not None
+                        else world.shape_pairs
+                    ),
                 )
                 sep = jnp.min(mf.separation)
                 approach = jnp.dot(dirn, mf.normal) * dist

@@ -34,8 +34,8 @@ static-contact colors.
 import jax
 import jax.numpy as jnp
 
-_ASSIGN_ROUNDS = 3  # proposal rounds for new/demoted edges per step
-MAX_DEGREE = 16     # CSR degree cap per body (pile bodies have ~6-12 contacts)
+_ASSIGN_ROUNDS = 4  # proposal rounds for new/demoted edges per step
+MAX_DEGREE = 32     # CSR degree cap per body (settled piles reach ~12-20)
 
 
 def color_constraints(

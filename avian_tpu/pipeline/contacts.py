@@ -62,10 +62,15 @@ def narrow_phase(
 
     # ---- manifolds -----------------------------------------------------
     pos, quat = update_collider_poses(world)
+    # Static branch pruning: an explicit config hint wins; otherwise use
+    # the scene's own shape-pair set derived by the builder.
+    pairs = (
+        config.shape_pairs
+        if config.shape_pairs is not None
+        else world.shape_pairs
+    )
     manifolds = jax.vmap(
-        lambda *args: compute_manifold(
-            *args, shape_pairs=config.shape_pairs
-        )
+        lambda *args: compute_manifold(*args, shape_pairs=pairs)
     )(
         col.shape_type[ca], pos[ca], quat[ca], col.params[ca],
         col.shape_type[cb], pos[cb], quat[cb], col.params[cb],

@@ -77,9 +77,10 @@ def physics_step(
     has_joints = world.joints.capacity > 0  # static
     jcon = xpbd_m.prepare_joints(world, s, config) if has_joints else None
 
-    # ---- substep loop (unrolled: the solver is gather-bound, and gathers
-    # inside lax.scan bodies run ~10-20x slower on this TPU runtime) -------
-    for _ in range(config.substeps):
+    # ---- substep loop (lax.scan: one traced substep, compiled once —
+    # measured faster than unrolling on this runtime) ----------------------
+    def substep(carry, _):
+        s, con, jcon = carry
         s = int_m.integrate_velocities(s, inc, world.bodies, h)
         s = int_m.clamp_velocities(s, world.bodies)
         s = sol_m.warm_start(s, con, config)
@@ -88,6 +89,11 @@ def physics_step(
         s, con = sol_m.solve_pass(s, con, h, False, config)
         if jcon is not None:
             s, jcon = xpbd_m.solve_joints(s, jcon, world.bodies, h, config)
+        return (s, con, jcon), None
+
+    (s, con, jcon), _ = jax.lax.scan(
+        substep, (s, con, jcon), None, length=config.substeps
+    )
 
     # ---- finalize ----------------------------------------------------------
     if config.swept_ccd:
@@ -121,6 +127,8 @@ def physics_step(
         diagnostics = {
             "num_pairs": bp.num_pairs,
             "dropped_pairs": bp.dropped,
+            "overflow_dropped": con.overflow_dropped,
+            "num_overflow": con.num_overflow,
             "num_touching": jnp.sum(contacts.touching.astype(jnp.int32)),
             "num_contact_points": jnp.sum(
                 jnp.where(contacts.touching, contacts.num_points, 0)

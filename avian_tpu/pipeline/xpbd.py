@@ -21,6 +21,7 @@ from dataclasses import dataclass, fields, replace
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 
 from avian_tpu.core.config import PhysicsConfig
 from avian_tpu.core.state import Joints, World
@@ -31,8 +32,10 @@ from avian_tpu.pipeline.coloring import color_constraints
 from avian_tpu.pipeline.solver_body import SolverState
 
 _PI = 3.14159265358979
-_Z = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
-_X = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
+# numpy, not jnp: device-array constants captured into jit poison the
+# runtime dispatch path (see geometry/narrowphase.py note).
+_Z = _np.asarray([0.0, 0.0, 1.0], _np.float32)
+_X = _np.asarray([1.0, 0.0, 0.0], _np.float32)
 
 
 def _register(cls):

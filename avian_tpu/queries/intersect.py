@@ -8,6 +8,7 @@ from avian_tpu.geometry.narrowphase import compute_manifold
 from avian_tpu.math import quat as quat_m
 from avian_tpu.pipeline.broadphase import update_collider_poses
 from avian_tpu.queries.filter import QueryFilter, collider_query_mask
+from avian_tpu.queries.shapecast import _cast_pairs
 
 
 def aabb_intersections(world, aabb_min, aabb_max, max_hits: int = 8, qfilter=None):
@@ -25,10 +26,11 @@ def aabb_intersections(world, aabb_min, aabb_max, max_hits: int = 8, qfilter=Non
 
 def shape_intersections(
     world, shape_type, params, shape_pos, shape_quat,
-    max_hits: int = 8, qfilter=None,
+    max_hits: int = 8, qfilter=None, shape_pairs=None,
 ):
     """Collider indices intersecting the given shape (padded -1)."""
     qfilter = qfilter if qfilter is not None else QueryFilter()
+    pairs = _cast_pairs(world, int(shape_type), shape_pairs)
     col = world.colliders
     pos, quat = update_collider_poses(world)
     ok = collider_query_mask(col, qfilter)
@@ -41,7 +43,7 @@ def shape_intersections(
     sq = jnp.asarray(shape_quat, jnp.float32)
 
     def one(ct, cp, cq, cprm):
-        m = compute_manifold(st, sp, sq, prm, ct, cp, cq, cprm)
+        m = compute_manifold(st, sp, sq, prm, ct, cp, cq, cprm, shape_pairs=pairs)
         overlapping = (m.count > 0) & (jnp.min(m.separation) < 0.0)
         return overlapping
 

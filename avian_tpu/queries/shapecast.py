@@ -18,6 +18,18 @@ from avian_tpu.math import vec
 from avian_tpu.pipeline.broadphase import update_collider_poses
 from avian_tpu.queries.filter import QueryFilter, collider_query_mask
 
+
+def _cast_pairs(world, cast_type, override):
+    """Canonical (cast shape x scene shapes) pair hint."""
+    if override is not None:
+        return override
+    if world.shape_pairs is None:
+        return None
+    present = sorted({t for p in world.shape_pairs for t in p})
+    return tuple(
+        sorted({(min(cast_type, t), max(cast_type, t)) for t in present})
+    )
+
 _BIG = 1e30
 _ITERS = 16
 _EPS = 1e-4
@@ -53,10 +65,16 @@ def cast_shape(
     direction,
     max_distance,
     qfilter: QueryFilter = None,
+    shape_pairs=None,
 ) -> ShapeHit:
     """First hit when sweeping the shape from ``origin`` along
-    ``direction`` (unit) up to ``max_distance``."""
+    ``direction`` (unit) up to ``max_distance``.
+
+    ``shape_pairs``: optional static canonical pair hint (defaults to the
+    world's own shape set x the cast shape) restricting which narrowphase
+    branches are lowered."""
     qfilter = qfilter if qfilter is not None else QueryFilter()
+    pairs = _cast_pairs(world, int(shape_type), shape_pairs)
     col = world.colliders
     pos, quat = update_collider_poses(world)
     ok = collider_query_mask(col, qfilter)
@@ -74,7 +92,7 @@ def cast_shape(
     def advance_one(ct, cp, cq, cprm):
         def body(_, state):
             t, done = state
-            m = compute_manifold(st, o + d * t, rot, prm, ct, cp, cq, cprm)
+            m = compute_manifold(st, o + d * t, rot, prm, ct, cp, cq, cprm, shape_pairs=pairs)
             sep = jnp.min(m.separation)
             n = m.normal  # from cast shape toward collider
             approach = jnp.dot(d, n)  # >0 when moving toward the collider
@@ -86,7 +104,7 @@ def cast_shape(
             return jnp.minimum(new_t, max_distance + 1.0), done | hit_now
 
         t, hit = jax.lax.fori_loop(0, _ITERS, body, (jnp.asarray(0.0), jnp.asarray(False)))
-        m = compute_manifold(st, o + d * t, rot, prm, ct, cp, cq, cprm)
+        m = compute_manifold(st, o + d * t, rot, prm, ct, cp, cq, cprm, shape_pairs=pairs)
         sep = jnp.min(m.separation)
         pi = jnp.argmin(m.separation)
         hit = hit & (t <= max_distance)

@@ -24,6 +24,11 @@ def _flatten_with_paths(world: World):
         if dataclasses.is_dataclass(obj):
             for f in dataclasses.fields(obj):
                 walk(getattr(obj, f.name), f"{prefix}{f.name}.")
+        elif prefix == "shape_pairs.":
+            # Static metadata: encode as [P, 2] ints (empty = None).
+            leaves["shape_pairs"] = np.asarray(
+                [] if obj is None else [list(p) for p in obj], np.int32
+            ).reshape(-1, 2)
         else:
             leaves[prefix[:-1]] = np.asarray(obj)
 
@@ -52,6 +57,13 @@ def load(path: str) -> World:
             }.get(f.name)
             if sub is not None and cls is World:
                 kw[f.name] = build(sub, key + ".")
+            elif f.name == "shape_pairs":
+                arr = data[key] if key in getattr(data, "files", ()) else None
+                kw[f.name] = (
+                    tuple(tuple(int(x) for x in row) for row in arr)
+                    if arr is not None and arr.size
+                    else None
+                )
             else:
                 kw[f.name] = jax.numpy.asarray(data[key])
         return cls(**kw)

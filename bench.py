@@ -44,14 +44,21 @@ def main():
     step = jax.jit(lambda w: physics_step(w, config))
 
     # Warm up: compile + let the pile make contact so we measure the
-    # contact-rich steady state, not free fall.
+    # contact-rich steady state, not free fall. Run PAST the settling point
+    # (the reference bench protocol also measures the settled pile).
+    #
+    # CRITICAL (axon runtime): NO device->host transfer may happen before or
+    # during the timed region — a single D2H transfer permanently degrades
+    # the runtime's dispatch path ~100x for every subsequent kernel launch
+    # (measured: 0.4 ms/step before one float(world.time), 285 ms/step
+    # after). All readbacks happen AFTER timing. block_until_ready is safe.
     world = step(world)
     jax.block_until_ready(world.bodies.pos)
-    for _ in range(20):
+    for _ in range(60):
         world = step(world)
     jax.block_until_ready(world.bodies.pos)
 
-    t_before = float(world.time)
+    t_before_dev = world.time  # device scalar; read back after timing
     t0 = time.perf_counter()
     for _ in range(N_STEPS):
         world = step(world)
@@ -62,22 +69,34 @@ def main():
     # (guards against degenerate executables from remote-compile flakes).
     import numpy as np
 
-    t_after = float(world.time)
-    assert abs(t_after - t_before - N_STEPS / 60.0) < 1e-3, (
-        f"sim time did not advance correctly: {t_before} -> {t_after}"
+    t_delta = float(world.time - t_before_dev)  # first D2H transfer
+    assert abs(t_delta - N_STEPS / 60.0) < 1e-3, (
+        f"sim time did not advance correctly: delta {t_delta}"
     )
     assert bool(np.isfinite(np.asarray(world.bodies.pos)).all()), "NaN state"
 
-    # Validate capacity: no silently dropped pairs (cheap separate check
-    # to avoid recompiling the full step with diagnostics).
+    # Validate capacities: no silently dropped broadphase pairs and no
+    # constraints dropped from the color buckets (cheap separate check —
+    # detection + prepare only — to avoid recompiling the full step with
+    # diagnostics).
     from avian_tpu.pipeline import broadphase as bp_m
+    from avian_tpu.pipeline import contacts as np_m
+    from avian_tpu.pipeline import solver as sol_m
+    from avian_tpu.pipeline import solver_body as sb_m
 
     @jax.jit
     def check(w):
         w = bp_m.update_aabbs(w, config)
-        return bp_m.broad_phase(w, config).dropped
+        bp = bp_m.broad_phase(w, config)
+        contacts = np_m.narrow_phase(w, bp, config)
+        con = sol_m.prepare_constraints(w, contacts, sb_m.prepare(w.bodies), config)
+        return bp.dropped, con.overflow_dropped, con.num_overflow
 
-    dropped = int(check(world))
+    dropped, overflow_dropped, num_overflow = (int(x) for x in check(world))
+    assert overflow_dropped == 0, (
+        f"{overflow_dropped} constraints dropped from color buckets"
+    )
+    assert dropped == 0, f"{dropped} broadphase pairs dropped"
 
     steps_per_sec = N_STEPS / elapsed
     body_steps_per_sec = steps_per_sec * N_CUBES
@@ -92,6 +111,7 @@ def main():
                 ),
                 "ms_per_step": round(1000.0 * elapsed / N_STEPS, 3),
                 "dropped_pairs": dropped,
+                "overflow_constraints": num_overflow,
                 "device": str(jax.devices()[0]),
             }
         )

@@ -10,7 +10,8 @@ from avian_tpu import BodyType, PhysicsConfig, SceneBuilder, physics_step
 from avian_tpu.api import collisions, control, forces
 from avian_tpu.utils import checkpoint
 
-CFG = PhysicsConfig()
+from conftest import TEST_SHAPE_PAIRS
+CFG = PhysicsConfig(max_colors=4, shape_pairs=TEST_SHAPE_PAIRS)
 CAPS = dict(max_bodies=8, max_colliders=8, max_contacts=64, max_joints=4)
 
 

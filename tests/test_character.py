@@ -4,10 +4,20 @@ import numpy as np
 import jax.numpy as jnp
 
 from avian_tpu import BodyType, PhysicsConfig, SceneBuilder, ShapeType
-from avian_tpu.character import MoveAndSlideConfig, move_and_slide, project_velocity
+import functools
+import jax
+
+from avian_tpu.character import MoveAndSlideConfig, move_and_slide as _mas, project_velocity
+
+# jit: the controller is meant to run inside a jitted game step; eagerly it
+# pays per-op dispatch (hundreds of ops x 16-iteration casts).
+move_and_slide = jax.jit(
+    _mas, static_argnames=("shape_type", "config")
+)
 from avian_tpu.pipeline.broadphase import update_aabbs
 
-CFG = PhysicsConfig()
+from conftest import TEST_SHAPE_PAIRS
+CFG = PhysicsConfig(max_colors=4, shape_pairs=TEST_SHAPE_PAIRS)
 ID = (0.0, 0.0, 0.0, 1.0)
 
 

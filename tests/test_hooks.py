@@ -5,7 +5,8 @@ import jax.numpy as jnp
 
 from avian_tpu import BodyType, PhysicsConfig, SceneBuilder, physics_step
 
-CFG = PhysicsConfig()
+from conftest import TEST_SHAPE_PAIRS
+CFG = PhysicsConfig(max_colors=4, shape_pairs=TEST_SHAPE_PAIRS)
 CAPS = dict(max_bodies=8, max_colliders=8, max_contacts=64, max_joints=4)
 
 

@@ -16,7 +16,8 @@ from avian_tpu.queries import (
     shape_intersections,
 )
 
-CFG = PhysicsConfig()
+from conftest import TEST_SHAPE_PAIRS
+CFG = PhysicsConfig(max_colors=4, shape_pairs=TEST_SHAPE_PAIRS)
 
 
 def _world():

@@ -1,0 +1,71 @@
+"""Scale regression: a settling pile must stay finite with zero dropped
+constraints — the failure mode that sank round 1's flagship bench (coloring
+overflow -> un-relaxed Jacobi divergence as the pile settles).
+
+Mirrors the reference's stress scenes (``benches/src/dim3/``), driven with a
+single ``lax.scan`` rollout so the whole test compiles once.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avian_tpu import PhysicsConfig
+from avian_tpu.core.types import ShapeType
+from avian_tpu.pipeline import broadphase as bp_m
+from avian_tpu.pipeline import contacts as np_m
+from avian_tpu.pipeline import solver as sol_m
+from avian_tpu.pipeline import solver_body as sb_m
+from avian_tpu.pipeline.step import physics_step
+from avian_tpu.scenes import cube_pile
+
+# Bench protocol config (60 Hz, 4 substeps) but at a CI-sized scale.
+CONFIG = PhysicsConfig(
+    substeps=4,
+    shape_pairs=(
+        (ShapeType.BOX, ShapeType.BOX),
+        (ShapeType.BOX, ShapeType.PLANE),
+    ),
+)
+N = 512
+
+
+def test_pile_settles_finite_no_overflow_drops():
+    world, _ = cube_pile(n_cubes=N, max_contacts=8 * N)
+
+    def body(w, _):
+        return physics_step(w, CONFIG), None
+
+    # 150 steps is past the point where round 1's 10k run diverged (~75-80)
+    # relative to pile height; this pile is 8 layers like the flagship.
+    world, _ = jax.lax.scan(body, world, None, length=150)
+
+    pos = np.asarray(world.bodies.pos)
+    assert np.isfinite(pos).all(), "pile diverged to NaN"
+    vel = np.asarray(world.bodies.lin_vel)
+    assert np.isfinite(vel).all()
+    # The pile must have settled into a bounded heap, not exploded.
+    assert float(np.abs(pos).max()) < 100.0
+
+    @jax.jit
+    def check(w):
+        w = bp_m.update_aabbs(w, CONFIG)
+        bp = bp_m.broad_phase(w, CONFIG)
+        contacts = np_m.narrow_phase(w, bp, CONFIG)
+        con = sol_m.prepare_constraints(
+            w, contacts, sb_m.prepare(w.bodies), CONFIG
+        )
+        max_pen = jnp.max(
+            jnp.where(
+                contacts.touching[:, None],
+                contacts.penetration,
+                0.0,
+            )
+        )
+        return bp.dropped, con.overflow_dropped, con.num_overflow, max_pen
+
+    dropped, overflow_dropped, num_overflow, max_pen = check(world)
+    assert int(dropped) == 0, "broadphase dropped pairs at scale"
+    assert int(overflow_dropped) == 0, "constraints dropped from buckets"
+    # Settled pile: resting penetration stays within a few cm.
+    assert float(max_pen) < 0.1, f"excessive penetration {float(max_pen)}"

@@ -4,17 +4,28 @@ CCD stress (the reference's bench/examples as behavioral specs)."""
 import numpy as np
 import jax.numpy as jnp
 
+import jax
+
 from avian_tpu import BodyType, PhysicsConfig, SceneBuilder, physics_step
+from avian_tpu.pipeline.step import rollout
+
+_ROLL60 = jax.jit(lambda w: rollout(w, CFG, 60))
+
+
+def _run(world, steps):
+    for _ in range((steps + 59) // 60):
+        world = _ROLL60(world)
+    return world
 from avian_tpu.core.types import JointType
 from avian_tpu.scenes import box_pyramid, ccd_stress, joint_chain
 
-CFG = PhysicsConfig()
+from conftest import TEST_SHAPE_PAIRS
+CFG = PhysicsConfig(max_colors=4, shape_pairs=TEST_SHAPE_PAIRS)
 
 
 def test_pyramid_2d_stable():
     world, ids = box_pyramid(base=6)
-    for _ in range(240):
-        world = physics_step(world, CFG)
+    world = _run(world, 240)
     pos = np.asarray(world.bodies.pos)[np.asarray(ids)]
     # Rows stay stacked: every box close to its initial grid position.
     assert np.all(np.isfinite(pos))
@@ -36,8 +47,7 @@ def test_2d_bodies_stay_planar():
         b.box(body, 0.5, 0.5, 0.5)
         boxes.append(body)
     world = b.finalize(max_bodies=8, max_colliders=8, max_contacts=64)
-    for _ in range(180):
-        world = physics_step(world, CFG)
+    world = _run(world, 240)
     pos = np.asarray(world.bodies.pos)[np.asarray(boxes)]
     np.testing.assert_allclose(pos[:, 2], 0.0, atol=1e-5)  # locked Z
     quat = np.asarray(world.bodies.quat)[np.asarray(boxes)]
@@ -47,9 +57,8 @@ def test_2d_bodies_stay_planar():
 
 def test_ccd_stress_speculative_no_tunneling():
     world, ids = ccd_stress(n_bullets=8, speed=80.0)
-    cfg = PhysicsConfig()
-    for _ in range(60):
-        world = physics_step(world, cfg)
+    cfg = PhysicsConfig(max_colors=4, shape_pairs=TEST_SHAPE_PAIRS)
+    world = _run(world, 60)
     x = np.asarray(world.bodies.pos)[np.asarray(ids), 0]
     # Bullets started at x=0 moving at 80 m/s toward a thin wall at x=5;
     # speculative contacts must stop them at the wall (not pass through).
@@ -59,8 +68,7 @@ def test_ccd_stress_speculative_no_tunneling():
 
 def test_chain_hangs_connected():
     world, ids = joint_chain(n_links=8, jtype=JointType.SPHERICAL)
-    for _ in range(240):
-        world = physics_step(world, CFG)
+    world = _run(world, 240)
     pos = np.asarray(world.bodies.pos)
     gaps = np.linalg.norm(np.diff(pos[1:9], axis=0), axis=-1)
     np.testing.assert_allclose(gaps, 0.5, atol=0.05)
