@@ -282,6 +282,9 @@ class SceneBuilder:
         limit_min: float = 0.0,
         limit_max: float = 0.0,
         limit_enabled: bool = False,
+        twist_min: float = 0.0,
+        twist_max: float = 0.0,
+        twist_enabled: bool = False,
         lin_damping: float = 0.0,
         ang_damping: float = 0.0,
         collision_disabled: bool = True,
@@ -297,6 +300,9 @@ class SceneBuilder:
                 basis_b=_quat_np(basis_b),
                 compliance=np.asarray(compliance, np.float32),
                 limit_min=limit_min,
+                twist_min=twist_min,
+                twist_max=twist_max,
+                twist_enabled=twist_enabled,
                 limit_max=limit_max,
                 limit_enabled=limit_enabled,
                 lin_damping=lin_damping,
@@ -501,6 +507,9 @@ class SceneBuilder:
                 limit_min=jnp.asarray(_pad(np.asarray([jd["limit_min"] for jd in self._joints], np.float32), j)),
                 limit_max=jnp.asarray(_pad(np.asarray([jd["limit_max"] for jd in self._joints], np.float32), j)),
                 limit_enabled=jnp.asarray(_pad(np.asarray([jd["limit_enabled"] for jd in self._joints], bool), j, False)),
+                twist_min=jnp.asarray(_pad(np.asarray([jd["twist_min"] for jd in self._joints], np.float32), j)),
+                twist_max=jnp.asarray(_pad(np.asarray([jd["twist_max"] for jd in self._joints], np.float32), j)),
+                twist_enabled=jnp.asarray(_pad(np.asarray([jd["twist_enabled"] for jd in self._joints], bool), j, False)),
                 lin_damping=jnp.asarray(_pad(np.asarray([jd["lin_damping"] for jd in self._joints], np.float32), j)),
                 ang_damping=jnp.asarray(_pad(np.asarray([jd["ang_damping"] for jd in self._joints], np.float32), j)),
                 collision_disabled=jnp.asarray(_pad(np.asarray([jd["collision_disabled"] for jd in self._joints], bool), j, False)),

@@ -90,6 +90,12 @@ class PhysicsConfig:
     # branch on the whole pair buffer, so unreachable branches cost real
     # time. None = all supported pairs.
     shape_pairs: tuple | None = None
+    # NaN quarantine: when True (default) a step that would produce
+    # non-finite body state instead freezes the world and sets
+    # ``World.diverged`` — the reference's debug finite-state assertions
+    # (``schedule/mod.rs:295-321``) turned into a recoverable per-scene
+    # mask for batched rollouts (SURVEY.md par.5 failure recovery).
+    nan_guard: bool = True
 
     @property
     def substep_dt(self) -> float:

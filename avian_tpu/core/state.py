@@ -306,6 +306,11 @@ class Joints:
     limit_min: jnp.ndarray    # f32[J]
     limit_max: jnp.ndarray    # f32[J]
     limit_enabled: jnp.ndarray  # bool[J]
+    # Spherical twist limit about the primary axis
+    # (``xpbd/joints/spherical.rs:20-38,76-80``).
+    twist_min: jnp.ndarray    # f32[J]
+    twist_max: jnp.ndarray    # f32[J]
+    twist_enabled: jnp.ndarray  # bool[J]
     lin_damping: jnp.ndarray  # f32[J] JointDamping linear
     ang_damping: jnp.ndarray  # f32[J] JointDamping angular
     collision_disabled: jnp.ndarray  # bool[J] disable contacts between bodies
@@ -340,6 +345,9 @@ class Joints:
             limit_min=f1,
             limit_max=f1,
             limit_enabled=jnp.zeros((j,), bool),
+            twist_min=f1,
+            twist_max=f1,
+            twist_enabled=jnp.zeros((j,), bool),
             lin_damping=f1,
             ang_damping=f1,
             collision_disabled=jnp.zeros((j,), bool),
@@ -364,6 +372,10 @@ class World:
     joints: Joints
     gravity: jnp.ndarray  # f32[3] (Gravity resource, default (0, -9.81, 0))
     time: jnp.ndarray     # f32[] accumulated simulated time
+    # NaN quarantine (SURVEY.md par.5): set when a step produced non-finite
+    # state; the step freezes a diverged world instead of propagating NaNs,
+    # so one diverged scene can't poison a vmapped batch.
+    diverged: jnp.ndarray = None  # bool[]
     shape_pairs: tuple | None = None
 
     def replace(self, **kw):
@@ -385,13 +397,15 @@ class World:
             joints=Joints.zeros(n_joints),
             gravity=jnp.asarray([0.0, -9.81, 0.0], jnp.float32),
             time=jnp.zeros((), jnp.float32),
+            diverged=jnp.zeros((), bool),
         )
 
 
 jax.tree_util.register_dataclass(
     World,
     data_fields=[
-        "bodies", "colliders", "contacts", "joints", "gravity", "time"
+        "bodies", "colliders", "contacts", "joints", "gravity", "time",
+        "diverged",
     ],
     meta_fields=["shape_pairs"],
 )

@@ -123,6 +123,26 @@ def physics_step(
         time=world.time + config.dt,
     )
 
+    # ---- NaN quarantine (SURVEY par.5; reference schedule/mod.rs:295-321) --
+    # A diverged scene freezes in place (flagged) instead of propagating
+    # NaNs; under vmap each scene quarantines independently.
+    nonfinite_bodies = jnp.zeros((), jnp.int32)
+    if config.nan_guard:
+        bad_body = ~(
+            jnp.all(jnp.isfinite(bodies.pos), axis=-1)
+            & jnp.all(jnp.isfinite(bodies.quat), axis=-1)
+            & jnp.all(jnp.isfinite(bodies.lin_vel), axis=-1)
+            & jnp.all(jnp.isfinite(bodies.ang_vel), axis=-1)
+        ) & bodies.active
+        nonfinite_bodies = jnp.sum(bad_body.astype(jnp.int32))
+        ok = nonfinite_bodies == 0
+        frozen = world.replace(
+            time=world.time + config.dt, diverged=jnp.asarray(True)
+        )
+        new_world = jax.tree.map(
+            lambda a, b: jnp.where(ok, a, b), new_world, frozen
+        )
+
     if return_diagnostics:
         diagnostics = {
             "num_pairs": bp.num_pairs,
@@ -134,6 +154,8 @@ def physics_step(
                 jnp.where(contacts.touching, contacts.num_points, 0)
             ),
             "num_sleeping": jnp.sum(bodies.sleeping.astype(jnp.int32)),
+            "nonfinite_bodies": nonfinite_bodies,
+            "diverged": new_world.diverged,
             "max_penetration": jnp.max(
                 jnp.where(
                     contacts.touching[:, None]

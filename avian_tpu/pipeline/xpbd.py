@@ -67,6 +67,9 @@ class JointConstraints:
     limit_min: jnp.ndarray    # f32[J]
     limit_max: jnp.ndarray    # f32[J]
     limit_enabled: jnp.ndarray  # bool[J]
+    twist_min: jnp.ndarray    # f32[J]
+    twist_max: jnp.ndarray    # f32[J]
+    twist_enabled: jnp.ndarray  # bool[J]
     lin_damping: jnp.ndarray  # f32[J]
     ang_damping: jnp.ndarray  # f32[J]
     inv_mass_a: jnp.ndarray   # f32[J] (max element of per-axis inv mass)
@@ -128,6 +131,9 @@ def prepare_joints(world: World, s: SolverState, config: PhysicsConfig) -> Joint
         limit_min=j.limit_min,
         limit_max=j.limit_max,
         limit_enabled=j.limit_enabled,
+        twist_min=j.twist_min,
+        twist_max=j.twist_max,
+        twist_enabled=j.twist_enabled,
         lin_damping=j.lin_damping,
         ang_damping=j.ang_damping,
         inv_mass_a=jnp.max(s.inv_mass[ba], axis=-1),
@@ -326,6 +332,30 @@ def _solve_color(s, jc, active, h):
     acc_rv_a += jnp.where(lim_active[..., None], rv_a, 0.0)
     acc_rv_b += jnp.where(lim_active[..., None], rv_b, 0.0)
     total_rot += jnp.where(lim_active[..., None], imp, 0.0)
+
+    # ---- 2b. spherical twist limit (spherical.rs:76-80, apply_twist) ------
+    # Rotation about the shared primary axis n = normalize(a1 + a2): project
+    # both secondary axes into the plane perpendicular to n and limit their
+    # angle about n (XPBD joint-limit formulation).
+    qd_a, qd_b = cur_dq_a(), cur_dq_b()
+    a1 = quat_m.rotate(qd_a, jc.axis_a)
+    a2 = quat_m.rotate(qd_b, jc.axis_b)
+    b1 = quat_m.rotate(qd_a, jc.sec_a)
+    b2 = quat_m.rotate(qd_b, jc.sec_b)
+    n_tw = vec.normalize_or(a1 + a2, _X)
+    n1 = vec.normalize_or(b1 - n_tw * vec.dot(n_tw, b1)[..., None], _X)
+    n2 = vec.normalize_or(b2 - n_tw * vec.dot(n_tw, b2)[..., None], _X)
+    corr_tw, viol_tw = _angle_limit_correction(
+        n_tw, n1, n2, jc.twist_min, jc.twist_max, jc.twist_enabled
+    )
+    tw_active = active & is_spherical & viol_tw
+    rv_a, rv_b, imp = _angular_correction(
+        jc, s, jnp.where(tw_active[..., None], corr_tw, 0.0),
+        jc.compliance[:, 3], h, tw_active
+    )
+    acc_rv_a += jnp.where(tw_active[..., None], rv_a, 0.0)
+    acc_rv_b += jnp.where(tw_active[..., None], rv_b, 0.0)
+    total_rot += jnp.where(tw_active[..., None], imp, 0.0)
 
     # ---- 3. positional constraint ------------------------------------------
     qd_a, qd_b = cur_dq_a(), cur_dq_b()

@@ -64,6 +64,8 @@ def load(path: str) -> World:
                     if arr is not None and arr.size
                     else None
                 )
+            elif f.name == "diverged" and key not in data.files:
+                kw[f.name] = jax.numpy.zeros((), bool)  # older checkpoints
             else:
                 kw[f.name] = jax.numpy.asarray(data[key])
         return cls(**kw)
