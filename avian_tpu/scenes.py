@@ -67,8 +67,9 @@ def box_pyramid(base: int = 20, half: float = 0.5, dim3_depth: bool = False):
         y = half + row * size
         x0 = -0.5 * n_in_row * size
         for i in range(n_in_row):
-            body = b.add_body(pos=(x0 + (i + 0.5) * size, y * 1.0001, 0.0))
-            # Lock Z translation + X/Y rotation to emulate a 2D scene.
+            # True 2D profile: Z translation + X/Y rotation locked
+            # (the reference's avian2d DIM=2 mode on shared source).
+            body = b.add_body_2d(pos=(x0 + (i + 0.5) * size, y * 1.0001))
             b.box(body, half, half, half, friction=0.6)
             ids.append(body)
             count += 1
@@ -130,5 +131,40 @@ def ccd_stress(n_bullets: int = 32, speed: float = 80.0):
     n = n_bullets + 2
     world = b.finalize(
         max_bodies=n, max_colliders=n, max_contacts=max(8 * n, 64)
+    )
+    return world, ids
+
+
+def falling_hinges(rows: int = 30, cols: int = 4, half: float = 0.25):
+    """Port of Box2D's FallingHinges determinism scene (the reference's
+    cross-platform determinism test, ``src/tests/determinism_2d.rs:28-60``):
+    ``rows x cols`` falling boxes, each column pair linked by revolute
+    hinges, over a ground plane. 2D profile (locked axes)."""
+    b = SceneBuilder()
+    g = b.add_body(body_type=BodyType.STATIC)
+    b.half_space(g, normal=(0, 1, 0))
+    size = 2.0 * half
+    ids = []
+    n_joints = 0
+    for r in range(rows):
+        prev = None
+        for c in range(cols):
+            body = b.add_body_2d(
+                pos=(c * size * 1.05 - 0.5 * cols * size, 2.0 + r * size * 1.2)
+            )
+            b.box(body, half, half, half, friction=0.6)
+            ids.append(body)
+            if prev is not None:
+                b.add_joint(
+                    JointType.REVOLUTE, prev, body,
+                    anchor_a=(half, half, 0.0), anchor_b=(-half, half, 0.0),
+                    basis_a=(0.0, 0.0, 0.0, 1.0), basis_b=(0.0, 0.0, 0.0, 1.0),
+                )
+                n_joints += 1
+            prev = body
+    n = rows * cols + 1
+    world = b.finalize(
+        max_bodies=n, max_colliders=n, max_contacts=max(8 * n, 64),
+        max_joints=max(n_joints, 1),
     )
     return world, ids

@@ -17,6 +17,10 @@ import jax
 
 N_CUBES = int(os.environ.get("BENCH_CUBES", "10000"))
 N_STEPS = int(os.environ.get("BENCH_STEPS", "100"))
+# BENCH_SCENE: "pile" (default, 3D cube pile) or "pyramid2d" (the
+# reference's Large Pyramid 2D: base 100 -> 5050 boxes, 2D locked axes).
+SCENE = os.environ.get("BENCH_SCENE", "pile")
+PYRAMID_BASE = int(os.environ.get("BENCH_PYRAMID_BASE", "100"))
 BASELINE_BODY_STEPS_PER_SEC = 5050 / 12.29e-3  # ~410,903
 
 
@@ -39,7 +43,14 @@ def main():
             (ShapeType.BOX, ShapeType.PLANE),
         ),
     )
-    world, ids = cube_pile(n_cubes=N_CUBES, max_contacts=8 * N_CUBES)
+    if SCENE == "pyramid2d":
+        from avian_tpu.scenes import box_pyramid
+
+        world, ids = box_pyramid(base=PYRAMID_BASE)
+        n_bodies = len(ids)
+    else:
+        world, ids = cube_pile(n_cubes=N_CUBES, max_contacts=8 * N_CUBES)
+        n_bodies = N_CUBES
 
     step = jax.jit(lambda w: physics_step(w, config))
 
@@ -99,11 +110,15 @@ def main():
     assert dropped == 0, f"{dropped} broadphase pairs dropped"
 
     steps_per_sec = N_STEPS / elapsed
-    body_steps_per_sec = steps_per_sec * N_CUBES
+    body_steps_per_sec = steps_per_sec * n_bodies
     print(
         json.dumps(
             {
-                "metric": f"body_steps_per_sec_cube_pile_{N_CUBES}",
+                "metric": (
+                    f"body_steps_per_sec_pyramid2d_{n_bodies}"
+                    if SCENE == "pyramid2d"
+                    else f"body_steps_per_sec_cube_pile_{N_CUBES}"
+                ),
                 "value": round(body_steps_per_sec),
                 "unit": "body*steps/sec",
                 "vs_baseline": round(
