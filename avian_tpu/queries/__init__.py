@@ -4,9 +4,11 @@ TPU-native counterpart of the reference's ``src/spatial_query/`` (the
 ``SpatialQuery`` system param, ``system_param.rs:128-987``). Instead of a
 per-step BVH rebuild + recursive traversal (``pipeline.rs:97-120``), queries
 test against all colliders brute-force vectorized — a [Q, M] masked
-computation that the VPU eats for breakfast at the scales where the
-reference uses a tree. A broadphase-reusing pruned variant is a later
-optimization.
+computation that the VPU eats for breakfast at small M — or, at scale,
+against the uniform-grid cell list (``accel.build_query_grid`` +
+``accel.cast_ray_grid``: branch-free 3D-DDA traversal, ~cells x window
+tests per ray). Persistent ``RayCasters`` arrays mirror the reference's
+``RayCaster`` components.
 """
 
 from avian_tpu.queries.raycast import cast_ray, ray_hits, RayHit
@@ -17,6 +19,13 @@ from avian_tpu.queries.intersect import (
 )
 from avian_tpu.queries.shapecast import cast_shape, ShapeHit
 from avian_tpu.queries.filter import QueryFilter
+from avian_tpu.queries.accel import (
+    QueryGrid,
+    RayCasters,
+    build_query_grid,
+    cast_ray_grid,
+    update_ray_casters,
+)
 
 __all__ = [
     "cast_ray",
@@ -29,4 +38,9 @@ __all__ = [
     "cast_shape",
     "ShapeHit",
     "QueryFilter",
+    "QueryGrid",
+    "RayCasters",
+    "build_query_grid",
+    "cast_ray_grid",
+    "update_ray_casters",
 ]
