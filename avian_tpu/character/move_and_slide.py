@@ -69,7 +69,7 @@ def depenetrate(
 
     quat = jnp.asarray(quat, jnp.float32)
     st = jnp.asarray(int(shape_type), jnp.int32)
-    prm = jnp.zeros(4, jnp.float32).at[: len(params)].set(
+    prm = jnp.zeros(8, jnp.float32).at[: len(params)].set(
         jnp.asarray(params, jnp.float32)
     )
 

@@ -83,7 +83,44 @@ def _mass_properties_np(st, pr, dens):
     i3 = np.where(cone[:, None], np.stack([ix, iy, ix], -1), i3)
 
     i6 = np.concatenate([i3, np.zeros_like(i3)], -1).astype(np.float32)
-    return mass.astype(np.float32), i6
+    com = np.zeros((r.shape[0], 3), np.float32)
+    com[:, 1] = np.where(cone, -0.5 * pr[:, 0], 0.0)
+    return mass.astype(np.float32), i6, com
+
+
+def _hull_mass_props_np(pts, hull, density):
+    """Exact convex-polyhedron mass properties by signed tetrahedron
+    decomposition (covariance method; what Parry computes for
+    ``Collider::convex_hull``). Returns (mass, inertia sym6 about the COM,
+    com)."""
+    C_can = np.full((3, 3), 1.0 / 120.0)
+    np.fill_diagonal(C_can, 1.0 / 60.0)
+    vol = 0.0
+    first = np.zeros(3)
+    C = np.zeros((3, 3))
+    for fi, simplex in enumerate(hull.simplices):
+        a, b, c = pts[simplex]
+        # qhull does NOT orient simplices consistently; flip each so its
+        # winding matches the outward face normal from `equations`.
+        n_out = hull.equations[fi, :3]
+        if np.dot(n_out, np.cross(b - a, c - a)) < 0.0:
+            b, c = c, b
+        A = np.stack([a, b, c], axis=1)
+        det = np.linalg.det(A)
+        vol += det / 6.0
+        first += det / 6.0 * (a + b + c) / 4.0
+        C += det * (A @ C_can @ A.T)
+    vol = abs(vol) if vol != 0 else 1e-12
+    com = first / vol
+    mass = density * vol
+    C = density * C - mass * np.outer(com, com)
+    eye = np.eye(3)
+    inertia = np.trace(C) * eye - C
+    i6 = np.asarray(
+        [inertia[0, 0], inertia[1, 1], inertia[2, 2],
+         inertia[0, 1], inertia[0, 2], inertia[1, 2]], np.float32
+    )
+    return np.float32(mass), i6, com.astype(np.float32)
 
 
 def _shift_inertia_np(i6, mass, d):
@@ -123,6 +160,7 @@ class SceneBuilder:
         self._bodies = []
         self._colliders = []
         self._joints = []
+        self._convex_verts = []  # list of np [k, 3] vertex blocks
         self.gravity = (0.0, -9.81, 0.0)
 
     # ------------------------------------------------------------------
@@ -202,6 +240,7 @@ class SceneBuilder:
         is_sensor: bool = False,
         collision_margin: float = 0.0,
         speculative_margin: float = _INF,
+        _hull_cache=None,
     ) -> int:
         # Loud failure for shapes with no narrowphase support: a collider
         # that silently produces no contacts falls through the world.
@@ -212,6 +251,7 @@ class SceneBuilder:
             ShapeType.PLANE,
             ShapeType.CYLINDER,
             ShapeType.CONE,
+            ShapeType.CONVEX,
         )
         if ShapeType(int(shape)) not in supported:
             raise ValueError(
@@ -219,7 +259,7 @@ class SceneBuilder:
                 f"support yet; supported: "
                 f"{', '.join(s.name for s in supported)}"
             )
-        p = np.zeros(4, np.float32)
+        p = np.zeros(8, np.float32)
         pa = np.asarray(params, np.float32).reshape(-1)
         p[: pa.shape[0]] = pa
         self._colliders.append(
@@ -239,6 +279,7 @@ class SceneBuilder:
                 is_sensor=is_sensor,
                 collision_margin=collision_margin,
                 speculative_margin=speculative_margin,
+                hull_cache=_hull_cache,
             )
         )
         return len(self._colliders) - 1
@@ -267,6 +308,40 @@ class SceneBuilder:
     def cone(self, body, radius, height, **kw):
         """Cone with base disc at local y=-height/2, apex at +height/2."""
         return self.add_collider(body, ShapeType.CONE, (height / 2, radius), **kw)
+
+    def convex_hull(self, body, points, **kw):
+        """Convex hull collider from a point cloud
+        (``Collider::convex_hull``, ``parry/mod.rs:704-1170``). The hull is
+        computed host-side (scipy qhull); at most ``MAX_HULL_VERTS``
+        vertices are kept (farthest-point simplification beyond that).
+        """
+        from avian_tpu.geometry.convex import MAX_HULL_VERTS
+
+        pts = np.asarray(points, np.float32).reshape(-1, 3)
+        if pts.shape[0] < 4:
+            raise ValueError("convex_hull needs >= 4 non-coplanar points")
+        from scipy.spatial import ConvexHull
+
+        hull = ConvexHull(pts)
+        verts = pts[hull.vertices]
+        if verts.shape[0] > MAX_HULL_VERTS:
+            # Farthest-point simplification: greedy max-min selection.
+            keep = [int(np.argmax(np.linalg.norm(verts - verts.mean(0), axis=1)))]
+            d = np.linalg.norm(verts - verts[keep[0]], axis=1)
+            for _ in range(MAX_HULL_VERTS - 1):
+                nxt = int(np.argmax(d))
+                keep.append(nxt)
+                d = np.minimum(d, np.linalg.norm(verts - verts[nxt], axis=1))
+            verts = verts[np.asarray(keep)]
+        offset = sum(v.shape[0] for v in self._convex_verts)
+        self._convex_verts.append(verts)
+        h = np.abs(verts).max(axis=0)
+        return self.add_collider(
+            body, ShapeType.CONVEX,
+            (float(offset), float(verts.shape[0]), float(h[0]), float(h[1]),
+             float(h[2])),
+            _hull_cache=(pts, hull), **kw,
+        )
 
     # ------------------------------------------------------------------
     def add_joint(
@@ -409,15 +484,24 @@ class SceneBuilder:
             st = np.asarray(col["shape_type"], np.int32)
             pr = np.asarray(col["params"], np.float32)
             dens = np.asarray(col["density"], np.float32)
-            cm, ci6 = _mass_properties_np(st, pr, dens)
+            cm, ci6, ccom = _mass_properties_np(st, pr, dens)
+            # Convex hulls: exact tetra-decomposition properties.
+            for ci, cd in enumerate(self._colliders):
+                if cd.get("hull_cache") is not None:
+                    pts_h, hull_h = cd["hull_cache"]
+                    cm[ci], ci6[ci], ccom[ci] = _hull_mass_props_np(
+                        pts_h, hull_h, cd["density"]
+                    )
             lp = np.asarray(col["local_pos"], np.float32).reshape(nc, 3)
+            # Shape COM in body frame (identity local_quat assumed for the
+            # axis-aligned primitive inertias; hull inertia is about its
+            # own COM already).
+            shape_com = lp + ccom
             # Parallel-axis shift of every collider inertia at once.
-            # TODO: rotate collider inertia by local_quat (identity for
-            # the primitive set whose inertia is axis-aligned anyway).
-            i6 = _shift_inertia_np(ci6, cm, lp)
+            i6 = _shift_inertia_np(ci6, cm, shape_com)
             body_of = np.asarray(col["body_idx"], np.int64)
             np.add.at(auto_mass, body_of, cm)
-            np.add.at(auto_first_moment, body_of, cm[:, None] * lp)
+            np.add.at(auto_first_moment, body_of, cm[:, None] * shape_com)
             np.add.at(auto_inertia, body_of, i6)
 
         arr = {k: [] for k in (
@@ -515,11 +599,23 @@ class SceneBuilder:
                 collision_disabled=jnp.asarray(_pad(np.asarray([jd["collision_disabled"] for jd in self._joints], bool), j, False)),
             )
 
+        if self._convex_verts:
+            from avian_tpu.geometry.convex import MAX_HULL_VERTS
+
+            pool = np.concatenate(
+                self._convex_verts
+                + [np.zeros((MAX_HULL_VERTS, 3), np.float32)],
+                axis=0,
+            )
+        else:
+            pool = np.zeros((1, 3), np.float32)
+
         return world.replace(
             bodies=bodies,
             colliders=colliders,
             joints=joints,
             gravity=jnp.asarray(self.gravity, jnp.float32),
+            convex_verts=jnp.asarray(pool),
             # Static metadata: only these narrowphase branches get lowered.
             shape_pairs=self.shape_pairs(),
         )

@@ -145,7 +145,7 @@ class Colliders:
     """Collider SoA columns (reference ``src/collision/collider/``)."""
 
     shape_type: jnp.ndarray   # i32[M] ShapeType
-    params: jnp.ndarray       # f32[M, 4] shape params (see ShapeType docs)
+    params: jnp.ndarray       # f32[M, 8] shape params (see ShapeType docs)
     body_idx: jnp.ndarray     # i32[M] owning body slot
     local_pos: jnp.ndarray    # f32[M, 3] offset on the body (ColliderTransform)
     local_quat: jnp.ndarray   # f32[M, 4]
@@ -179,7 +179,7 @@ class Colliders:
         f3 = jnp.zeros((m, 3), jnp.float32)
         return Colliders(
             shape_type=jnp.zeros((m,), jnp.int32),
-            params=jnp.zeros((m, 4), jnp.float32),
+            params=jnp.zeros((m, 8), jnp.float32),
             body_idx=jnp.zeros((m,), jnp.int32),
             local_pos=f3,
             local_quat=quat_m.identity((m,)),
@@ -376,6 +376,10 @@ class World:
     # state; the step freezes a diverged world instead of propagating NaNs,
     # so one diverged scene can't poison a vmapped batch.
     diverged: jnp.ndarray = None  # bool[]
+    # Shared vertex pool for CONVEX colliders (params = offset, count,
+    # local AABB half extents). The pool is padded so any
+    # [offset, offset + MAX_HULL_VERTS) slice is in bounds.
+    convex_verts: jnp.ndarray = None  # f32[V, 3]
     shape_pairs: tuple | None = None
 
     def replace(self, **kw):
@@ -398,6 +402,7 @@ class World:
             gravity=jnp.asarray([0.0, -9.81, 0.0], jnp.float32),
             time=jnp.zeros((), jnp.float32),
             diverged=jnp.zeros((), bool),
+            convex_verts=jnp.zeros((1, 3), jnp.float32),
         )
 
 
@@ -405,7 +410,7 @@ jax.tree_util.register_dataclass(
     World,
     data_fields=[
         "bodies", "colliders", "contacts", "joints", "gravity", "time",
-        "diverged",
+        "diverged", "convex_verts",
     ],
     meta_fields=["shape_pairs"],
 )

@@ -589,19 +589,157 @@ def support_patch_plane_pair(support_fn, patch_fn):
 
         valid = jnp.arange(_PATCH) < cnt
         seps = jnp.where(valid, seps, 1e9)
-        # Up to 4 deepest points, deterministic order.
-        order = jnp.argsort(seps)
-        idx = order[:4]
-        ok = valid[idx]
-        p4 = pts_w[idx]
-        s4 = seps[idx]
+        # Reduce to <= 4 SPREAD points (deepest / farthest / area
+        # extremes, like box_box) — taking the 4 *deepest* of a flat
+        # disc ring clusters them on one side and rocks the body in a
+        # perpetual limit cycle.
+        t1 = vec.any_orthonormal(n_plane)
+        t2 = jnp.cross(n_plane, t1)
+        uv = jnp.stack([pts_w @ t1, pts_w @ t2], axis=-1)
+        fids = jnp.arange(_PATCH, dtype=jnp.int32)
+        sel, ok = _reduce4(uv, seps, fids, cnt)
+        p4 = pts_w[sel]
+        s4 = seps[sel]
         return Manifold(
             normal=-n_plane,
             point_a=p4,
             point_b=p4 - n_plane[None, :] * s4[:, None],
             separation=jnp.where(ok, s4, 1e9),
-            feature_id=jnp.where(ok, idx, 0).astype(jnp.int32),
+            feature_id=jnp.where(ok, sel, 0).astype(jnp.int32),
             count=jnp.sum(ok.astype(jnp.int32)),
         )
 
+    return pair_fn
+
+
+# ---------------------------------------------------------------------------
+# Convex hulls (vertex pools). ``prm`` = (offset, count, hx, hy, hz) into the
+# world's shared vertex pool; support/patch take the pool as a third arg
+# (wired by the dispatcher, which tags these with ``needs_pool``).
+# ---------------------------------------------------------------------------
+
+MAX_HULL_VERTS = 32
+
+
+def _hull_verts(prm, pool):
+    off = prm[0].astype(jnp.int32)
+    cnt = prm[1].astype(jnp.int32)
+    verts = jax.lax.dynamic_slice(pool, (off, 0), (MAX_HULL_VERTS, 3))
+    valid = jnp.arange(MAX_HULL_VERTS) < cnt
+    return verts, valid
+
+
+def support_convex(prm, d, pool):
+    verts, valid = _hull_verts(prm, pool)
+    dots = jnp.where(valid, verts @ d, -1e30)
+    return verts[jnp.argmax(dots)]
+
+
+def patch_convex(prm, d, pool):
+    """Support face of the hull along ``d``, two-phase:
+
+    1. collect candidates in a *loose* band (the iterated contact normal
+       can be several degrees off the face normal, spreading the face's
+       support values by ~face_width * sin(err)), fit the candidate ring's
+       plane normal;
+    2. re-collect with a *tight* band along that fitted normal — exact for
+       flat faces even when ``d`` was noticeably off."""
+    verts, valid = _hull_verts(prm, pool)
+    dn = _nrm(d)
+    size = jnp.maximum(jnp.max(prm[2:5]), 1e-3)
+
+    def collect(axis, band):
+        dots = jnp.where(valid, verts @ axis, -1e30)
+        return dots, valid & (dots > jnp.max(dots) - band)
+
+    # Phase 1: loose band, fit the candidate plane.
+    _, near1 = collect(dn, 0.35 * size)
+    k1 = jnp.sum(near1.astype(jnp.int32))
+    sel = jnp.where(near1[:, None], verts, 0.0)
+    c1 = jnp.sum(sel, axis=0) / jnp.maximum(k1.astype(jnp.float32), 1.0)
+    # Plane normal via the candidate covariance's smallest direction —
+    # cheap proxy: cross of the two longest centroid offsets.
+    rel1 = jnp.where(near1[:, None], verts - c1, 0.0)
+    ln = jnp.sum(rel1 * rel1, axis=-1)
+    i_a = jnp.argmax(ln)
+    cr = jnp.cross(rel1[i_a][None, :], rel1)
+    i_b = jnp.argmax(jnp.sum(cr * cr, axis=-1))
+    nf_fit = vec.normalize_or(jnp.cross(rel1[i_a], rel1[i_b]), dn)
+    nf_fit = nf_fit * jnp.sign(vec.dot(nf_fit, dn) + 1e-12)
+    axis2 = jnp.where(k1 >= 3, nf_fit, dn)
+
+    # Phase 2: tight band along the fitted face normal.
+    dots, near = collect(axis2, 0.02 * size)
+    # If the tight pass degenerates (candidates were not coplanar), fall
+    # back to the loose set along d.
+    use2 = jnp.sum(near.astype(jnp.int32)) >= jnp.minimum(k1, 3)
+    near = jnp.where(use2, near, near1)
+    dots = jnp.where(use2, dots, jnp.where(valid, verts @ dn, -1e30))
+
+    score = jnp.where(near, dots, -jnp.inf)
+    _, idx = jax.lax.top_k(score, _PATCH)
+    sel_ok = near[idx]
+    pts = verts[idx]
+    k = jnp.minimum(jnp.sum(near.astype(jnp.int32)), _PATCH)
+
+    # Angle-order the selected ring around its centroid.
+    t1 = vec.any_orthonormal(dn)
+    t2 = jnp.cross(dn, t1)
+    centroid = jnp.sum(
+        jnp.where(sel_ok[:, None], pts, 0.0), axis=0
+    ) / jnp.maximum(k.astype(jnp.float32), 1.0)
+    rel = pts - centroid
+    ang = jnp.arctan2(rel @ t2, rel @ t1)
+    ang = jnp.where(sel_ok, ang, 1e9)
+    order = jnp.argsort(ang)
+    pts = pts[order]
+    # Degenerate-pad invalid slots with the first point.
+    pad = jnp.arange(_PATCH) >= k
+    pts = jnp.where(pad[:, None], pts[0:1], pts)
+
+    # Face normal from the ring (sign-aligned with d); fall back to d.
+    nf = jnp.cross(pts[1] - pts[0], pts[2] - pts[0])
+    nf = vec.normalize_or(nf, dn)
+    nf = nf * jnp.sign(vec.dot(nf, dn) + 1e-12)
+    nf = jnp.where(k >= 3, nf, dn)
+    return pts, nf, k
+
+
+def _aux_wrap(fn):
+    """Adapt a (prm, d) support/patch fn to the (prm, d, pool) calling
+    convention used by pool-aware pair functions."""
+
+    def wrapped(prm, d, pool):
+        return fn(prm, d)
+
+    return wrapped
+
+
+def generic_convex_pair_aux(support_a, patch_a, support_b, patch_b):
+    """Like :func:`generic_convex_pair` but every support/patch fn takes
+    ``(prm, d, pool)``; the built pair function takes the pool as its 7th
+    argument (the dispatcher supplies ``world.convex_verts``)."""
+
+    def pair_fn(pa, qa, prm_a, pb, qb, prm_b, pool):
+        base = generic_convex_pair(
+            lambda prm, d: support_a(prm, d, pool),
+            lambda prm, d: patch_a(prm, d, pool),
+            lambda prm, d: support_b(prm, d, pool),
+            lambda prm, d: patch_b(prm, d, pool),
+        )
+        return base(pa, qa, prm_a, pb, qb, prm_b)
+
+    pair_fn.needs_pool = True
+    return pair_fn
+
+
+def support_patch_plane_pair_aux(support_fn, patch_fn):
+    def pair_fn(pa, qa, prm_a, pb, qb, prm_b, pool):
+        base = support_patch_plane_pair(
+            lambda prm, d: support_fn(prm, d, pool),
+            lambda prm, d: patch_fn(prm, d, pool),
+        )
+        return base(pa, qa, prm_a, pb, qb, prm_b)
+
+    pair_fn.needs_pool = True
     return pair_fn

@@ -321,6 +321,18 @@ def _generic(ta, tb):
     return _cx.generic_convex_pair(sa, fa, sb, fb)
 
 
+def _generic_convex(ta):
+    """Pair of shape ``ta`` vs a convex hull (pool-aware)."""
+    if ta == ShapeType.CONVEX:
+        sa, fa = _cx.support_convex, _cx.patch_convex
+    else:
+        s0, f0 = _SHAPE_SUPPORT[ta]
+        sa, fa = _cx._aux_wrap(s0), _cx._aux_wrap(f0)
+    return _cx.generic_convex_pair_aux(
+        sa, fa, _cx.support_convex, _cx.patch_convex
+    )
+
+
 def _swapped(fn):
     def wrapper(pa, qa, prm_a, pb, qb, prm_b):
         m = fn(pb, qb, prm_b, pa, qa, prm_a)
@@ -333,6 +345,22 @@ def _swapped(fn):
             count=m.count,
         )
 
+    return wrapper
+
+
+def _swapped_aux(fn):
+    def wrapper(pa, qa, prm_a, pb, qb, prm_b, pool):
+        m = fn(pb, qb, prm_b, pa, qa, prm_a, pool)
+        return Manifold(
+            normal=-m.normal,
+            point_a=m.point_b,
+            point_b=m.point_a,
+            separation=m.separation,
+            feature_id=m.feature_id,
+            count=m.count,
+        )
+
+    wrapper.needs_pool = True
     return wrapper
 
 
@@ -368,9 +396,19 @@ _CANONICAL = [
     (ShapeType.CYLINDER, ShapeType.CYLINDER, _generic(ShapeType.CYLINDER, ShapeType.CYLINDER)),
     (ShapeType.CYLINDER, ShapeType.CONE, _generic(ShapeType.CYLINDER, ShapeType.CONE)),
     (ShapeType.CONE, ShapeType.CONE, _generic(ShapeType.CONE, ShapeType.CONE)),
+    (ShapeType.SPHERE, ShapeType.CONVEX, _generic_convex(ShapeType.SPHERE)),
+    (ShapeType.CAPSULE, ShapeType.CONVEX, _generic_convex(ShapeType.CAPSULE)),
+    (ShapeType.BOX, ShapeType.CONVEX, _generic_convex(ShapeType.BOX)),
+    (ShapeType.PLANE, ShapeType.CONVEX,
+     _swapped_aux(_cx.support_patch_plane_pair_aux(
+         _cx.support_convex, _cx.patch_convex))),
+    (ShapeType.CYLINDER, ShapeType.CONVEX, _generic_convex(ShapeType.CYLINDER)),
+    (ShapeType.CONE, ShapeType.CONVEX, _generic_convex(ShapeType.CONE)),
+    (ShapeType.CONVEX, ShapeType.CONVEX, _generic_convex(ShapeType.CONVEX)),
 ]
 
-_NUM_DISPATCH_TYPES = 6  # sphere, capsule, box, plane, cylinder, cone
+# sphere, capsule, box, plane, cylinder, cone, (segment, triangle), convex
+_NUM_DISPATCH_TYPES = 9
 
 # LUT: canonical (ta, tb) code -> branch index; unsupported -> last branch.
 
@@ -381,7 +419,8 @@ for _i, (_ta, _tb, _) in enumerate(_CANONICAL):
 
 
 def compute_manifold(
-    type_a, pa, qa, prm_a, type_b, pb, qb, prm_b, shape_pairs=None
+    type_a, pa, qa, prm_a, type_b, pb, qb, prm_b, shape_pairs=None,
+    convex_verts=None,
 ) -> Manifold:
     """Shape-pair dispatch for one pair (vmap over the pair buffer).
 
@@ -411,8 +450,26 @@ def compute_manifold(
             lut[int(a) * _NUM_DISPATCH_TYPES + int(b)] = i
         lut = jnp.asarray(lut)
 
+    # Pool for CONVEX branches, padded so the fixed-size vertex slice is
+    # always in bounds (branches are only reachable when hulls exist, but
+    # lax.switch lowers every listed branch).
+    from avian_tpu.geometry.convex import MAX_HULL_VERTS
+
+    pool = (
+        convex_verts
+        if convex_verts is not None
+        else jnp.zeros((1, 3), jnp.float32)
+    )
+    pool = jnp.concatenate(
+        [pool, jnp.zeros((MAX_HULL_VERTS, 3), jnp.float32)], axis=0
+    )
     branches = [
-        (lambda args, fn=fn: fn(*args)) for (_, _, fn) in entries
+        (
+            (lambda args, fn=fn: fn(*args, pool))
+            if getattr(fn, "needs_pool", False)
+            else (lambda args, fn=fn: fn(*args))
+        )
+        for (_, _, fn) in entries
     ] + [lambda args: _unsupported(*args)]
     code = lut[
         jnp.clip(

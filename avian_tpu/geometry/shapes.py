@@ -34,6 +34,7 @@ def local_aabb_half_extents(shape_type, params):
     seg = jnp.stack(
         [params[..., 0], jnp.zeros_like(r), jnp.zeros_like(r)], axis=-1
     )
+    convex = params[..., 2:5]  # precomputed local AABB half extents
 
     st = shape_type[..., None]
     return jnp.select(
@@ -45,8 +46,9 @@ def local_aabb_half_extents(shape_type, params):
             st == ShapeType.CYLINDER,
             st == ShapeType.CONE,
             st == ShapeType.SEGMENT,
+            st == ShapeType.CONVEX,
         ],
-        [half, capsule, box, plane, cyl, cyl, seg],
+        [half, capsule, box, plane, cyl, cyl, seg, convex],
         default=half,
     )
 

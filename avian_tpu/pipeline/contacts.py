@@ -70,7 +70,9 @@ def narrow_phase(
         else world.shape_pairs
     )
     manifolds = jax.vmap(
-        lambda *args: compute_manifold(*args, shape_pairs=pairs)
+        lambda *args: compute_manifold(
+            *args, shape_pairs=pairs, convex_verts=world.convex_verts
+        )
     )(
         col.shape_type[ca], pos[ca], quat[ca], col.params[ca],
         col.shape_type[cb], pos[cb], quat[cb], col.params[cb],

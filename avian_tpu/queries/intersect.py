@@ -36,7 +36,7 @@ def shape_intersections(
     ok = collider_query_mask(col, qfilter)
 
     st = jnp.asarray(int(shape_type), jnp.int32)
-    prm = jnp.zeros(4, jnp.float32).at[: len(params)].set(
+    prm = jnp.zeros(8, jnp.float32).at[: len(params)].set(
         jnp.asarray(params, jnp.float32)
     )
     sp = jnp.asarray(shape_pos, jnp.float32)

@@ -80,7 +80,7 @@ def cast_shape(
     ok = collider_query_mask(col, qfilter)
 
     st = jnp.asarray(int(shape_type), jnp.int32)
-    prm = jnp.zeros(4, jnp.float32).at[: len(params)].set(
+    prm = jnp.zeros(8, jnp.float32).at[: len(params)].set(
         jnp.asarray(params, jnp.float32)
     )
     o = jnp.asarray(origin, jnp.float32)

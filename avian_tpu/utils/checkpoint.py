@@ -66,6 +66,8 @@ def load(path: str) -> World:
                 )
             elif f.name == "diverged" and key not in data.files:
                 kw[f.name] = jax.numpy.zeros((), bool)  # older checkpoints
+            elif f.name == "convex_verts" and key not in data.files:
+                kw[f.name] = jax.numpy.zeros((1, 3), jax.numpy.float32)
             else:
                 kw[f.name] = jax.numpy.asarray(data[key])
         return cls(**kw)

@@ -4,6 +4,12 @@ in lockstep with vmap, sharded over all available devices.
 Run: python examples/batched_rollout.py [num_scenes]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import sys
 import time
 

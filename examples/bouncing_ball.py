@@ -1,6 +1,12 @@
 """A restitution demo: ball bouncing to rest (reference example: basic
 dynamics scenes). Run: python examples/bouncing_ball.py"""
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import numpy as np
 
 from avian_tpu import BodyType, PhysicsConfig, SceneBuilder, physics_step

@@ -1,5 +1,11 @@
 """Hanging joint chain (reference `chain_3d.rs` example)."""
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import numpy as np
 
 from avian_tpu import PhysicsConfig, physics_step

@@ -2,6 +2,12 @@
 contacts with the belt (reference `conveyor_belt.rs` example; hooks =
 ``CollisionHooks::modify_contacts``)."""
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import numpy as np
 import jax.numpy as jnp
 

@@ -4,6 +4,12 @@ with an optional debug-render snapshot.
 Run: python examples/cubes.py [--render out.png]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import sys
 
 import numpy as np

@@ -2,6 +2,12 @@
 `one_way_platform_2d.rs`): contacts are disabled unless the body comes from
 above (contact normal opposing the platform's up axis)."""
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import numpy as np
 import jax.numpy as jnp
 
