@@ -143,7 +143,7 @@ def cast_ray_grid(
         """Ray vs collider ci; returns (t, world normal)."""
         t, n_w = _ray_one_collider(
             o, d, pos[ci], quat[ci], col.shape_type[ci], col.params[ci],
-            solid,
+            solid, pool=world.convex_verts,
         )
         t = jnp.where(valid & ok[ci] & (t <= max_distance) & (t >= 0.0), t, _BIG)
         return t, n_w

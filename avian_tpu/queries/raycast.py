@@ -133,17 +133,218 @@ def _ray_capsule(o, d, params, solid):
     return t, n
 
 
-def _ray_one_collider(o_w, d_w, pos, quat, shape_type, params, solid):
+def _ray_cylinder(o, d, params, solid):
+    """Flat-capped cylinder about Y (half height, radius)."""
+    hh, r = params[0], params[1]
+    oxz = jnp.asarray([o[0], 0.0, o[2]])
+    dxz = jnp.asarray([d[0], 0.0, d[2]])
+    a = jnp.dot(dxz, dxz)
+    b = jnp.dot(oxz, dxz)
+    c = jnp.dot(oxz, oxz) - r * r
+    disc = b * b - a * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t_side = jnp.where(
+        (disc >= 0.0) & (a > 1e-12), (-b - sq) / jnp.maximum(a, 1e-12), _BIG
+    )
+    y_at = o[1] + d[1] * t_side
+    t_side = jnp.where(
+        (t_side >= 0.0) & (jnp.abs(y_at) <= hh), t_side, _BIG
+    )
+
+    def cap(sy):
+        denom = d[1]
+        t = jnp.where(jnp.abs(denom) > 1e-12, (sy * hh - o[1]) / denom, _BIG)
+        p = o + d * t
+        ok = (t >= 0.0) & (p[0] * p[0] + p[2] * p[2] <= r * r)
+        return jnp.where(ok, t, _BIG)
+
+    t_top = cap(1.0)
+    t_bot = cap(-1.0)
+    t = jnp.minimum(t_side, jnp.minimum(t_top, t_bot))
+    p = o + d * t
+    n_side = vec.normalize_or(jnp.asarray([p[0], 0.0, p[2]]), -d)
+    n = jnp.where(
+        t == t_side,
+        n_side,
+        jnp.asarray([0.0, 1.0, 0.0]) * jnp.where(t == t_top, 1.0, -1.0),
+    )
+    inside = (jnp.abs(o[1]) <= hh) & (o[0] * o[0] + o[2] * o[2] < r * r)
+    t = jnp.where(inside & solid, 0.0, t)
+    n = jnp.where(inside & solid, -d, n)
+    return t, n
+
+
+def _ray_cone(o, d, params, solid):
+    """Cone: base disc at y=-h (radius r), apex (0, +h, 0)."""
+    hh, r = params[0], params[1]
+    k = r / (2.0 * hh)
+    A = d[0] * d[0] + d[2] * d[2] - k * k * d[1] * d[1]
+    B = 2.0 * (o[0] * d[0] + o[2] * d[2]) + 2.0 * k * k * d[1] * (hh - o[1])
+    C = o[0] * o[0] + o[2] * o[2] - k * k * (hh - o[1]) ** 2
+    disc = B * B - 4.0 * A * C
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    safe_a = jnp.where(jnp.abs(A) > 1e-12, A, 1e-12)
+    t0 = (-B - sq) / (2.0 * safe_a)
+    t1 = (-B + sq) / (2.0 * safe_a)
+    # Linear case (ray parallel to the slant).
+    t_lin = jnp.where(jnp.abs(B) > 1e-12, -C / jnp.where(jnp.abs(B) > 1e-12, B, 1.0), _BIG)
+    use_lin = jnp.abs(A) <= 1e-12
+
+    def side_ok(t):
+        y = o[1] + d[1] * t
+        return (disc >= 0.0) & (t >= 0.0) & (y >= -hh) & (y <= hh)
+
+    t0 = jnp.where(~use_lin & side_ok(t0), t0, _BIG)
+    t1 = jnp.where(~use_lin & side_ok(t1), t1, _BIG)
+    y_lin = o[1] + d[1] * t_lin
+    t_lin = jnp.where(
+        use_lin & (t_lin >= 0.0) & (y_lin >= -hh) & (y_lin <= hh), t_lin, _BIG
+    )
+    t_side = jnp.minimum(jnp.minimum(t0, t1), t_lin)
+
+    denom = d[1]
+    t_base = jnp.where(jnp.abs(denom) > 1e-12, (-hh - o[1]) / denom, _BIG)
+    pb_ = o + d * t_base
+    t_base = jnp.where(
+        (t_base >= 0.0) & (pb_[0] * pb_[0] + pb_[2] * pb_[2] <= r * r),
+        t_base,
+        _BIG,
+    )
+    t = jnp.minimum(t_side, t_base)
+    p = o + d * t
+    n_side = vec.normalize_or(
+        jnp.asarray([p[0], k * k * (hh - p[1]), p[2]]), -d
+    )
+    n = jnp.where(t == t_side, n_side, jnp.asarray([0.0, -1.0, 0.0]))
+    r_at = k * (hh - o[1])
+    inside = (
+        (o[1] >= -hh) & (o[1] <= hh)
+        & (o[0] * o[0] + o[2] * o[2] < r_at * r_at)
+    )
+    t = jnp.where(inside & solid, 0.0, t)
+    n = jnp.where(inside & solid, -d, n)
+    return t, n
+
+
+def _ray_convex(o, d, params, solid, pool):
+    """Sphere tracing against the hull's support map: the point-to-hull
+    distance (Frank-Wolfe) is a safe marching bound along any ray."""
+    from avian_tpu.geometry.convex import MAX_HULL_VERTS
+
+    off = params[0].astype(jnp.int32)
+    cnt = params[1].astype(jnp.int32)
+    verts = jax.lax.dynamic_slice(pool, (off, 0), (MAX_HULL_VERTS, 3))
+    valid = jnp.arange(MAX_HULL_VERTS) < cnt
+
+    def closest(p):
+        # FW on min |x - p|^2 over the hull.
+        x = jnp.where(valid[:, None], verts, verts[0:1]).mean(axis=0)
+
+        def body(x, _):
+            g = x - p
+            dots = jnp.where(valid, verts @ (-g), -1e30)
+            sball = verts[jnp.argmax(dots)]
+            dxs = x - sball
+            gamma = jnp.clip(
+                jnp.dot(g, dxs) / jnp.maximum(jnp.dot(dxs, dxs), 1e-12),
+                0.0, 1.0,
+            )
+            return x - gamma * dxs, None
+
+        x, _ = jax.lax.scan(body, x, None, length=12)
+        return x
+
+    def sigma(u):
+        return jnp.max(jnp.where(valid, verts @ u, -1e30))
+
+    def march(carry, _):
+        t, done, n_last = carry
+        p = o + d * t
+        x = closest(p)
+        u = vec.normalize_or(p - x, -d)
+        # Support-plane LOWER bound of the distance (FW gives an upper
+        # bound — marching with it would overshoot into the hull).
+        lb = jnp.dot(u, p) - sigma(u)
+        hit = lb < 1e-4
+        t_new = jnp.where(done | hit, t, t + jnp.maximum(lb, 1e-5))
+        n_last = jnp.where(done, n_last, u)
+        return (jnp.minimum(t_new, 1e6), done | hit, n_last), None
+
+    (t, hit, n), _ = jax.lax.scan(
+        march,
+        (jnp.asarray(0.0), jnp.asarray(False), -d),
+        None,
+        length=24,
+    )
+    # Fit the actual face plane: collect the support ring along n and take
+    # its plane normal (the marching direction converges only to a few
+    # degrees; the ring fit is exact for flat faces).
+    size = jnp.maximum(jnp.max(params[2:5]), 1e-3)
+    dots_n = jnp.where(valid, verts @ n, -1e30)
+    near = valid & (dots_n > jnp.max(dots_n) - 0.35 * size)
+    k_near = jnp.sum(near.astype(jnp.int32))
+    c_near = jnp.sum(
+        jnp.where(near[:, None], verts, 0.0), axis=0
+    ) / jnp.maximum(k_near.astype(jnp.float32), 1.0)
+    rel = jnp.where(near[:, None], verts - c_near, 0.0)
+    i_a = jnp.argmax(jnp.sum(rel * rel, axis=-1))
+    cr = jnp.cross(rel[i_a][None, :], rel)
+    i_b = jnp.argmax(jnp.sum(cr * cr, axis=-1))
+    nf = vec.normalize_or(jnp.cross(rel[i_a], rel[i_b]), n)
+    nf = nf * jnp.sign(jnp.dot(nf, n) + 1e-12)
+    n = jnp.where(k_near >= 3, nf, n)
+
+    # One exact refinement: intersect the ray with the support plane of
+    # the fitted face normal.
+    dn = jnp.dot(d, n)
+    t_ref = (sigma(n) - jnp.dot(n, o)) / jnp.where(
+        jnp.abs(dn) > 1e-9, dn, 1e-9
+    )
+    t = jnp.where(
+        (jnp.abs(dn) > 1e-6) & (jnp.abs(t_ref - t) < 0.1) & (t_ref >= 0.0),
+        t_ref,
+        t,
+    )
+    t = jnp.where(hit, t, _BIG)
+    inside = vec.length(closest(o) - o) < 1e-6
+    t = jnp.where(inside & solid, 0.0, t)
+    n = jnp.where(inside & solid, -d, n)
+    return t, n
+
+
+def _ray_miss(o, d, params, solid):
+    return jnp.asarray(_BIG), -d
+
+
+def _ray_one_collider(o_w, d_w, pos, quat, shape_type, params, solid,
+                      pool=None):
     """Ray vs one collider (world in, local test, world out)."""
     o = quat_m.rotate_inv(quat, o_w - pos)
     d = quat_m.rotate_inv(quat, d_w)
+    # Only lower the (expensive, sphere-traced) convex branch when the
+    # scene actually has hulls — under vmap, lax.switch evaluates every
+    # branch for every lane. Pool size is static, so this is trace-time.
+    has_convex = pool is not None and pool.shape[0] > 1
+    if pool is None:
+        pool = jnp.zeros((1, 3), jnp.float32)
+    from avian_tpu.geometry.convex import MAX_HULL_VERTS
+
+    pool = jnp.concatenate(
+        [pool, jnp.zeros((MAX_HULL_VERTS, 3), jnp.float32)], axis=0
+    )
     branches = [
         lambda a: _ray_sphere(*a),
         lambda a: _ray_capsule(*a),
         lambda a: _ray_box(*a),
         lambda a: _ray_plane(*a),
+        lambda a: _ray_cylinder(*a),
+        lambda a: _ray_cone(*a),
+        lambda a: _ray_miss(*a),   # segment
+        lambda a: _ray_miss(*a),   # triangle
+        (lambda a: _ray_convex(*a, pool)) if has_convex
+        else (lambda a: _ray_miss(*a)),
     ]
-    code = jnp.clip(shape_type, 0, 3)
+    code = jnp.clip(shape_type, 0, 8)
     t, n_local = jax.lax.switch(code, branches, (o, d, params, solid))
     return t, quat_m.rotate(quat, n_local)
 
@@ -154,7 +355,8 @@ def _all_hits(world, origin, direction, solid, qfilter):
     ok = collider_query_mask(col, qfilter)
     t, n = jax.vmap(
         lambda p, q, st, prm: _ray_one_collider(
-            origin, direction, p, q, st, prm, solid
+            origin, direction, p, q, st, prm, solid,
+            pool=world.convex_verts,
         )
     )(pos, quat, col.shape_type, col.params)
     t = jnp.where(ok, t, _BIG)

@@ -41,8 +41,8 @@ def main():
         pos, vel, normal = mas(
             world, ShapeType.CAPSULE, (0.5, 0.4), pos, ID, vel, dt
         )
-        pos = np.asarray(pos)
-        vel = np.asarray(vel)
+        pos = np.array(pos)
+        vel = np.array(vel)
         vel[0] = 2.0  # keep walking
         vel[1] = max(vel[1], -1.0) - 0.3  # stick to ground
     assert np.isfinite(pos).all()

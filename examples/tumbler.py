@@ -54,13 +54,28 @@ def main():
         world = roll(world)
     pos = np.asarray(world.bodies.pos)[np.asarray(ids)]
     assert np.isfinite(pos).all(), "tumbler diverged"
-    # Cubes stay inside the tumbler (radius < ext + margin).
-    r = np.linalg.norm(pos[:, :2], axis=-1)
-    assert (r < 4.5).all(), f"cube escaped the tumbler: r_max={r.max():.2f}"
+    # Cubes stay inside the spinning box: within the inner wall faces
+    # (walls at +-4 with half thickness 0.3 -> inner face 3.7; the
+    # chamber rotates, so check against the rotated frame conservatively
+    # via the per-axis max in the *body frame* of the tumbler).
+    q = np.asarray(world.bodies.quat[0])
+    x, y, z, w = q
+    # Rotation about Z only: angle from quat.
+    ang = 2.0 * np.arctan2(z, w)
+    c, s_ = np.cos(-ang), np.sin(-ang)
+    local_x = c * pos[:, 0] - s_ * pos[:, 1]
+    local_y = s_ * pos[:, 0] + c * pos[:, 1]
+    inside = (np.abs(local_x) < 3.8) & (np.abs(local_y) < 3.8) & (
+        np.abs(pos[:, 2]) < 1.0
+    )
+    assert inside.all(), (
+        f"cube escaped the tumbler: max |local| = "
+        f"{max(np.abs(local_x).max(), np.abs(local_y).max()):.2f}"
+    )
     # The kinematic spin actually churns the pile: cubes are awake/moving.
     vel = np.asarray(world.bodies.lin_vel)[np.asarray(ids)]
     assert np.abs(vel).max() > 0.05, "tumbler failed to drive the cubes"
-    print(f"tumbler OK: 36 cubes contained, r_max={r.max():.2f}, "
+    print(f"tumbler OK: 36 cubes contained (|local| < 3.8), "
           f"max |v|={np.abs(vel).max():.2f} m/s after 6 s of spin")
 
 

@@ -72,3 +72,37 @@ def test_persistent_ray_casters_follow_body():
     )(world, casters)
     assert bool(hits2.hit[0])
     assert int(hits2.collider[0]) != 1
+
+
+def test_rays_hit_cylinder_cone_convex():
+    """New ray branches: cylinder flat caps, cone side, hull face."""
+    import jax.numpy as jnp
+    from avian_tpu import BodyType, SceneBuilder
+
+    b = SceneBuilder()
+    cyl = b.add_body(body_type=BodyType.STATIC, pos=(0, 0, 0))
+    b.cylinder(cyl, 0.5, 2.0)
+    cone = b.add_body(body_type=BodyType.STATIC, pos=(3, 0, 0))
+    b.cone(cone, 0.5, 1.0)
+    hull = b.add_body(body_type=BodyType.STATIC, pos=(6, 0, 0))
+    b.convex_hull(
+        hull, [(sx * 0.5, sy * 0.5, sz * 0.5)
+               for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]
+    )
+    world = b.finalize(max_bodies=4, max_colliders=4, max_contacts=8)
+
+    # Down onto the cylinder cap: t = 2 - 1 = 1, normal +y.
+    h = jax.jit(lambda w: cast_ray(w, (0.0, 2.0, 0.0), (0.0, -1.0, 0.0), 10.0))(world)
+    assert bool(h.hit) and abs(float(h.distance) - 1.0) < 1e-3
+    assert float(h.normal[1]) > 0.99
+
+    # Sideways into the cone at base height y=-0.4: radius there = 0.45.
+    h = jax.jit(lambda w: cast_ray(w, (5.0, -0.4, 0.0), (-1.0, 0.0, 0.0), 10.0))(world)
+    assert bool(h.hit) and int(h.collider) == 1
+    r_at = 0.5 * (0.5 + 0.4) / 1.0
+    assert abs(float(h.distance) - (2.0 - r_at)) < 1e-2
+
+    # Into the hull cube face at x = 6 - 0.5.
+    h = jax.jit(lambda w: cast_ray(w, (4.3, 0.0, 0.0), (1.0, 0.0, 0.0), 10.0))(world)
+    assert bool(h.hit) and int(h.collider) == 2
+    assert abs(float(h.distance) - 1.2) < 2e-2
