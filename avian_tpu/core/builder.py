@@ -309,6 +309,77 @@ class SceneBuilder:
         """Cone with base disc at local y=-height/2, apex at +height/2."""
         return self.add_collider(body, ShapeType.CONE, (height / 2, radius), **kw)
 
+    def triangle(self, body, a, b, c, **kw):
+        """A single (double-sided) triangle collider — a 3-vertex entry in
+        the convex vertex pool (massless; meant for static geometry).
+
+        Pool vertices are stored about the triangle centroid, which becomes
+        the collider's local offset — keeping the collider-local AABB tight
+        (a far-from-origin triangle would otherwise get a giant AABB and
+        degrade the broadphase grid's cell size).
+        """
+        tri = np.asarray([a, b, c], np.float32)
+        centroid = tri.mean(axis=0)
+        tri = tri - centroid
+        lp = np.asarray(kw.pop("local_pos", (0.0, 0.0, 0.0)), np.float32)
+        offset = sum(v.shape[0] for v in self._convex_verts)
+        self._convex_verts.append(tri)
+        h = np.abs(tri).max(axis=0)
+        return self.add_collider(
+            body, ShapeType.CONVEX,
+            # Lane 5 marks a FLAT collider: its face normal dominates the
+            # contact normal (kills sideways MTVs at mesh-internal edges).
+            (float(offset), 3.0, float(h[0]), float(h[1]), float(h[2]), 1.0),
+            local_pos=tuple(lp + centroid),
+            **kw,
+        )
+
+    def trimesh(self, body, vertices, faces, **kw):
+        """Triangle-mesh collider (``Collider::trimesh``,
+        ``parry/mod.rs:704-1170``): one pool-backed triangle collider per
+        face, all attached to ``body``. TPU-native replacement for Parry's
+        per-mesh BVH midphase — the uniform-grid broadphase already culls
+        per-triangle AABBs, so triangles ARE the midphase. Intended for
+        static geometry (triangles carry no mass).
+
+        Returns the list of collider indices (one per face).
+        """
+        verts = np.asarray(vertices, np.float32).reshape(-1, 3)
+        faces = np.asarray(faces, np.int64).reshape(-1, 3)
+        return [
+            self.triangle(
+                body, verts[f[0]], verts[f[1]], verts[f[2]], **kw
+            )
+            for f in faces
+        ]
+
+    def heightfield(self, body, heights, x_extent, z_extent, **kw):
+        """Heightfield collider (``Collider::heightfield``): a regular
+        ``[nx, nz]`` grid of heights spanning ``x_extent`` x ``z_extent``
+        centered on the body, triangulated into pool-backed triangles."""
+        hf = np.asarray(heights, np.float32)
+        nx, nz = hf.shape
+        xs = np.linspace(-x_extent / 2.0, x_extent / 2.0, nx)
+        zs = np.linspace(-z_extent / 2.0, z_extent / 2.0, nz)
+        verts = np.stack(
+            [
+                np.repeat(xs, nz),
+                hf.reshape(-1),
+                np.tile(zs, nx),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+
+        def vid(i, k):
+            return i * nz + k
+
+        faces = []
+        for i in range(nx - 1):
+            for k in range(nz - 1):
+                faces.append((vid(i, k), vid(i + 1, k), vid(i, k + 1)))
+                faces.append((vid(i + 1, k), vid(i + 1, k + 1), vid(i, k + 1)))
+        return self.trimesh(body, verts, faces, **kw)
+
     def convex_hull(self, body, points, **kw):
         """Convex hull collider from a point cloud
         (``Collider::convex_hull``, ``parry/mod.rs:704-1170``). The hull is
@@ -333,6 +404,13 @@ class SceneBuilder:
                 keep.append(nxt)
                 d = np.minimum(d, np.linalg.norm(verts - verts[nxt], axis=1))
             verts = verts[np.asarray(keep)]
+        # Store pool verts about the hull centroid (tight local AABB); the
+        # centroid becomes the collider's local offset, and the cached
+        # points shift with it so mass properties come out in the collider
+        # frame.
+        centroid = verts.mean(axis=0)
+        verts = verts - centroid
+        lp = np.asarray(kw.pop("local_pos", (0.0, 0.0, 0.0)), np.float32)
         offset = sum(v.shape[0] for v in self._convex_verts)
         self._convex_verts.append(verts)
         h = np.abs(verts).max(axis=0)
@@ -340,7 +418,8 @@ class SceneBuilder:
             body, ShapeType.CONVEX,
             (float(offset), float(verts.shape[0]), float(h[0]), float(h[1]),
              float(h[2])),
-            _hull_cache=(pts, hull), **kw,
+            local_pos=tuple(lp + centroid),
+            _hull_cache=(pts - centroid, hull), **kw,
         )
 
     # ------------------------------------------------------------------

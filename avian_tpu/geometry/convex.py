@@ -378,8 +378,14 @@ def _reduce4(uv, seps, fids, count):
     return sel, ok
 
 
-def generic_convex_pair(support_a, patch_a, support_b, patch_b):
-    """Build a dispatchable pair function for two support-mapped shapes."""
+def generic_convex_pair(support_a, patch_a, support_b, patch_b,
+                        flat_a_fn=None, flat_b_fn=None):
+    """Build a dispatchable pair function for two support-mapped shapes.
+
+    ``flat_*_fn(prm) -> bool`` marks a shape as FLAT (zero-thickness
+    triangle): its face normal then dominates the contact normal whenever
+    the contact is frontal — the standard cure for sideways
+    minimum-translation directions at triangle-mesh internal edges."""
 
     def pair_fn(pa, qa, prm_a, pb, qb, prm_b):
         from avian_tpu.geometry.narrowphase import Manifold, _empty
@@ -417,6 +423,20 @@ def generic_convex_pair(support_a, patch_a, support_b, patch_b):
         snap_a = (align_a >= align_b) & (align_a > _FACE_SNAP) & (cnt_a >= 2)
         snap_b = (align_b > align_a) & (align_b > _FACE_SNAP) & (cnt_b >= 2)
         n = jnp.where(snap_a, nf_a, jnp.where(snap_b, -nf_b, n))
+        # Flat shapes dominate: any frontal contact snaps to their plane.
+        flat_a = (
+            flat_a_fn(prm_a) if flat_a_fn is not None else jnp.asarray(False)
+        )
+        flat_b = (
+            flat_b_fn(prm_b) if flat_b_fn is not None else jnp.asarray(False)
+        )
+        prefer_b = flat_b & (align_b > 0.3) & (cnt_b >= 3)
+        prefer_a = flat_a & (align_a > 0.3) & (cnt_a >= 3) & (
+            ~prefer_b | (align_a > align_b)
+        )
+        n = jnp.where(
+            prefer_a, nf_a, jnp.where(prefer_b, -nf_b, n)
+        )
         n = _nrm(n)
 
         # Re-emit patches along the polished normal.
@@ -675,6 +695,12 @@ def patch_convex(prm, d, pool):
     use2 = jnp.sum(near.astype(jnp.int32)) >= jnp.minimum(k1, 3)
     near = jnp.where(use2, near, near1)
     dots = jnp.where(use2, dots, jnp.where(valid, verts @ dn, -1e30))
+    # A <=3-vertex "hull" (triangle/segment) IS its only face: the whole
+    # vertex set is the patch no matter how far off ``d`` is (the flat
+    # snap in the pair function relies on getting the true plane here).
+    tiny = prm[1].astype(jnp.int32) <= 3
+    near = jnp.where(tiny, valid, near)
+    dots = jnp.where(tiny, jnp.where(valid, verts @ dn, -1e30), dots)
 
     score = jnp.where(near, dots, -jnp.inf)
     _, idx = jax.lax.top_k(score, _PATCH)
@@ -715,10 +741,15 @@ def _aux_wrap(fn):
     return wrapped
 
 
+def _convex_is_flat(prm):
+    return prm[5] > 0.5
+
+
 def generic_convex_pair_aux(support_a, patch_a, support_b, patch_b):
     """Like :func:`generic_convex_pair` but every support/patch fn takes
     ``(prm, d, pool)``; the built pair function takes the pool as its 7th
-    argument (the dispatcher supplies ``world.convex_verts``)."""
+    argument (the dispatcher supplies ``world.convex_verts``). CONVEX
+    shapes carry a flatness flag (triangles) in params lane 5."""
 
     def pair_fn(pa, qa, prm_a, pb, qb, prm_b, pool):
         base = generic_convex_pair(
@@ -726,6 +757,8 @@ def generic_convex_pair_aux(support_a, patch_a, support_b, patch_b):
             lambda prm, d: patch_a(prm, d, pool),
             lambda prm, d: support_b(prm, d, pool),
             lambda prm, d: patch_b(prm, d, pool),
+            flat_a_fn=_convex_is_flat if support_a is support_convex else None,
+            flat_b_fn=_convex_is_flat if support_b is support_convex else None,
         )
         return base(pa, qa, prm_a, pb, qb, prm_b)
 
