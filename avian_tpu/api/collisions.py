@@ -35,6 +35,17 @@ def ended(world: World):
     return c.active & ~c.touching & c.was_touching
 
 
+def contact_ids(world: World):
+    """i32[C]: the stable id of each tracked contact pair (0 = empty slot).
+
+    Ids persist while a pair stays in the buffer even as slots re-shuffle
+    (the reference's stable ``ContactEdge`` ids,
+    ``contact_types/contact_graph.rs:76``) — use together with
+    :func:`started`/:func:`ended` masks to build user-facing event
+    streams keyed by contact identity."""
+    return jnp.where(world.contacts.active, world.contacts.contact_id, 0)
+
+
 def contains(world: World, body_a, body_b):
     """True if the two bodies are touching (``Collisions::contains``)."""
     c = world.contacts

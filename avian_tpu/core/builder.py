@@ -183,6 +183,7 @@ class SceneBuilder:
         locked_axes: int = 0,
         gyroscopic: bool = False,
         swept_ccd: bool = False,
+        swept_ccd_nonlinear: bool = False,
         sleep_disabled: bool = False,
     ) -> int:
         """Returns the body index."""
@@ -205,6 +206,7 @@ class SceneBuilder:
                 locked_axes=locked_axes,
                 gyroscopic=gyroscopic,
                 swept_ccd=swept_ccd,
+                swept_ccd_nonlinear=swept_ccd_nonlinear,
                 sleep_disabled=sleep_disabled,
             )
         )
@@ -587,7 +589,8 @@ class SceneBuilder:
             "pos", "quat", "lin_vel", "ang_vel", "inv_mass", "inv_inertia",
             "com", "gravity_scale", "lin_damping", "ang_damping",
             "max_lin_speed", "max_ang_speed", "dominance", "body_type",
-            "locked_axes", "gyroscopic", "swept_ccd", "sleep_disabled")}
+            "locked_axes", "gyroscopic", "swept_ccd", "swept_ccd_nonlinear",
+            "sleep_disabled")}
         masses = np.zeros(nb, np.float32)
         coms = np.zeros((nb, 3), np.float32)
         i6s = np.zeros((nb, 6), np.float32)
@@ -615,6 +618,7 @@ class SceneBuilder:
             for k in ("gravity_scale", "lin_damping", "ang_damping",
                       "max_lin_speed", "max_ang_speed", "dominance",
                       "body_type", "locked_axes", "gyroscopic", "swept_ccd",
+                      "swept_ccd_nonlinear",
                       "sleep_disabled"):
                 arr[k].append(bd[k])
 
@@ -649,6 +653,7 @@ class SceneBuilder:
                 locked_axes=jnp.asarray(_pad(np.asarray(arr["locked_axes"], np.int32), n)),
                 gyroscopic=jnp.asarray(_pad(np.asarray(arr["gyroscopic"], bool), n, False)),
                 swept_ccd=jnp.asarray(_pad(np.asarray(arr["swept_ccd"], bool), n, False)),
+                swept_ccd_nonlinear=jnp.asarray(_pad(np.asarray(arr["swept_ccd_nonlinear"], bool), n, False)),
                 sleep_disabled=jnp.asarray(_pad(np.asarray(arr["sleep_disabled"], bool), n, False)),
             )
         else:

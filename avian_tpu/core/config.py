@@ -96,6 +96,10 @@ class PhysicsConfig:
     # (``schedule/mod.rs:295-321``) turned into a recoverable per-scene
     # mask for batched rollouts (SURVEY.md par.5 failure recovery).
     nan_guard: bool = True
+    # Max bodies swept per step by the opt-in swept-CCD pass (the TOI
+    # columns are computed only for flagged colliders, O(K x M) instead of
+    # the reference's per-entity loop / round 1's O(M^2)).
+    max_swept_colliders: int = 32
 
     @property
     def substep_dt(self) -> float:

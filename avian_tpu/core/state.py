@@ -73,6 +73,9 @@ class Bodies:
     locked_axes: jnp.ndarray  # i32[N] bit mask (types.LOCK_*)
     gyroscopic: jnp.ndarray   # bool[N] apply gyroscopic torque (3D)
     swept_ccd: jnp.ndarray    # bool[N] swept CCD (SweptCcd component)
+    # SweepMode::NonLinear (``ccd/mod.rs:479-498``): include rotation in
+    # the conservative-advancement sweep.
+    swept_ccd_nonlinear: jnp.ndarray  # bool[N]
     # Per-step force/torque accumulators (Forces API), cleared by the step.
     force: jnp.ndarray        # f32[N, 3] world-frame force
     torque: jnp.ndarray       # f32[N, 3]
@@ -122,6 +125,7 @@ class Bodies:
             locked_axes=jnp.zeros((n,), jnp.int32),
             gyroscopic=jnp.zeros((n,), bool),
             swept_ccd=jnp.zeros((n,), bool),
+            swept_ccd_nonlinear=jnp.zeros((n,), bool),
             force=f3,
             torque=f3,
             const_force=f3,
@@ -242,6 +246,12 @@ class Contacts:
     surface_velocity: jnp.ndarray  # f32[C, 3]
     # Persistent constraint-graph color (pipeline.coloring); -1 = none.
     color: jnp.ndarray  # i32[C]
+    # Stable per-pair contact id (the reference's ContactEdge id,
+    # ``contact_types/contact_graph.rs:76``): assigned once when a pair
+    # enters the buffer and carried while it persists, even as slots
+    # re-shuffle. 0 = none; ids are unique within a World's lifetime.
+    contact_id: jnp.ndarray  # i32[C]
+    next_contact_id: jnp.ndarray  # i32[] monotonically increasing counter
 
     @property
     def capacity(self) -> int:
@@ -279,6 +289,8 @@ class Contacts:
             restitution=jnp.zeros((c,), jnp.float32),
             surface_velocity=jnp.zeros((c, 3), jnp.float32),
             color=jnp.full((c,), -1, jnp.int32),
+            contact_id=jnp.zeros((c,), jnp.int32),
+            next_contact_id=jnp.ones((), jnp.int32),
         )
 
 

@@ -83,6 +83,24 @@ def from_scaled_axis(v):
     return jnp.concatenate([v * s[..., None], w[..., None]], axis=-1)
 
 
+def to_scaled_axis(q):
+    """Rotation vector (axis * angle) from a quaternion — the inverse of
+    :func:`from_scaled_axis`. Branch-free small-angle handling."""
+    xyz = q[..., :3]
+    w = q[..., 3]
+    # Canonicalize to the short arc.
+    sgn = jnp.where(w < 0.0, -1.0, 1.0)
+    xyz = xyz * sgn[..., None]
+    w = w * sgn
+    s2 = jnp.sum(xyz * xyz, axis=-1)
+    s = jnp.sqrt(jnp.maximum(s2, 1e-30))
+    angle = 2.0 * jnp.arctan2(s, w)
+    small = s2 < 1e-12
+    # angle / sin(half) ~ 2 + angle^2/12 for small angles.
+    scale = jnp.where(small, 2.0 + s2 / 1.5, angle / s)
+    return xyz * scale[..., None]
+
+
 def to_mat3(q):
     """Rotation matrix ``[..., 3, 3]`` from quaternion."""
     x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]

@@ -9,13 +9,18 @@ contacts resolve the impact instead of tunneling.
 
 Speculative contacts (the default CCD, ``NarrowPhaseConfig`` speculative
 margins) are handled in the narrowphase; this pass is only for the opt-in
-sweep. It is gated behind ``PhysicsConfig.swept_ccd`` because it is an
-O(M_flagged x M) computation.
+sweep.
 
-The TOI oracle is conservative advancement over the analytic manifold
-distance (the same primitive the shape caster uses), with linear sweeps
-(``SweepMode::Linear``): rotation during the sweep is ignored, like the
-reference's linear mode.
+TPU shape: only up to ``config.max_swept_colliders`` flagged colliders are
+swept (gathered by ``top_k``), so the pass is O(K x M) — the analogue of
+the reference iterating its few ``SweptCcd`` entities, instead of round 1's
+O(M^2) all-pairs sweep.
+
+Sweep modes (``SweepMode::{Linear, NonLinear}``, ``ccd/mod.rs:479-498``):
+linear ignores rotation during the sweep; nonlinear (per-body
+``swept_ccd_nonlinear``) interpolates the body's accumulated rotation along
+the sweep and widens the conservative step by the angular travel bound
+(``cast_shapes_nonlinear`` semantics, ``ccd/mod.rs:692-780``).
 """
 
 import jax
@@ -37,12 +42,23 @@ def solve_swept_ccd(world: World, s: SolverState, config: PhysicsConfig) -> Solv
     col = world.colliders
     b = world.bodies
     m = col.capacity
+    k_cap = min(config.max_swept_colliders, m)
 
     pos0 = b.pos[col.body_idx] + quat_m.rotate(
         b.quat[col.body_idx], col.local_pos
     )
     quat0 = quat_m.mul(b.quat[col.body_idx], col.local_quat)
     sweep = s.delta_pos[col.body_idx]  # linear sweep of each collider
+
+    # Accumulated rotation of each collider's body over the step, as a
+    # scaled axis (for the nonlinear sweep mode).
+    dq = s.delta_quat[col.body_idx]
+    rot_axis_angle = quat_m.to_scaled_axis(dq)
+    nonlinear = b.swept_ccd_nonlinear[col.body_idx]
+    rot_axis_angle = jnp.where(nonlinear[:, None], rot_axis_angle, 0.0)
+    # Angular travel bound: rotation angle x bounding radius.
+    radius = 0.5 * jnp.linalg.norm(col.aabb_max - col.aabb_min, axis=-1)
+    ang_travel = jnp.linalg.norm(rot_axis_angle, axis=-1) * radius
 
     flagged = (
         b.swept_ccd[col.body_idx]
@@ -51,31 +67,44 @@ def solve_swept_ccd(world: World, s: SolverState, config: PhysicsConfig) -> Solv
         & (vec.length_sq(sweep) > 1e-12)
     )
 
-    layers_ok = (
-        (col.layer_members[:, None] & col.layer_filter[None, :]) > 0
-    ) & ((col.layer_members[None, :] & col.layer_filter[:, None]) > 0)
+    # Gather up to K flagged colliders (deterministic: lowest indices win).
+    score = jnp.where(flagged, -jnp.arange(m, dtype=jnp.float32), -jnp.inf)
+    _, swept_idx = jax.lax.top_k(score, k_cap)
+    swept_ok = flagged[swept_idx]
 
-    def toi_one(i):
-        """Earliest TOI in [0, 1] of collider i against all others."""
+    layers_ok = (
+        (col.layer_members[swept_idx][:, None] & col.layer_filter[None, :]) > 0
+    ) & ((col.layer_members[None, :] & col.layer_filter[swept_idx][:, None]) > 0)
+
+    pairs = (
+        config.shape_pairs
+        if config.shape_pairs is not None
+        else world.shape_pairs
+    )
+
+    def toi_one(row, i):
+        """Earliest TOI in [0, 1] of swept collider i against all others."""
         d = sweep[i]
         dist = vec.length(d)
         dirn = vec.normalize_or(d, jnp.asarray([1.0, 0.0, 0.0]))
+        aa = rot_axis_angle[i]
+        ang = ang_travel[i]
 
         def vs_other(j):
             def body_fn(_, state):
                 t, done = state
+                q_t = quat_m.mul(quat_m.from_scaled_axis(aa * t), quat0[i])
                 mf = compute_manifold(
-                    col.shape_type[i], pos0[i] + d * t, quat0[i],
+                    col.shape_type[i], pos0[i] + d * t, q_t,
                     col.params[i],
                     col.shape_type[j], pos0[j], quat0[j], col.params[j],
-                    shape_pairs=(
-                        config.shape_pairs
-                        if config.shape_pairs is not None
-                        else world.shape_pairs
-                    ),
+                    shape_pairs=pairs,
+                    convex_verts=world.convex_verts,
                 )
                 sep = jnp.min(mf.separation)
-                approach = jnp.dot(dirn, mf.normal) * dist
+                # Conservative approach bound: linear closing speed along
+                # the normal plus the angular surface travel per unit t.
+                approach = jnp.dot(dirn, mf.normal) * dist + ang
                 hit = sep < 1e-4
                 step = jnp.where(
                     approach > 1e-6, sep / jnp.maximum(approach, 1e-6), 2.0
@@ -91,19 +120,18 @@ def solve_swept_ccd(world: World, s: SolverState, config: PhysicsConfig) -> Solv
                 & col.active[j]
                 & (col.body_idx[j] != col.body_idx[i])
                 & ~b.swept_ccd[col.body_idx[j]]  # sweep vs non-swept only
-                & layers_ok[i, j]
+                & layers_ok[row, j]
             )
             return jnp.where(valid & hit, t, 1.0)
 
-        tois = jax.vmap(vs_other)(jnp.arange(m))
-        return jnp.min(tois)
+        return jnp.min(jax.vmap(vs_other)(jnp.arange(m)))
 
-    tois = jax.vmap(toi_one)(jnp.arange(m))
-    tois = jnp.where(flagged, tois, 1.0)
+    tois_k = jax.vmap(toi_one)(jnp.arange(k_cap), swept_idx)
+    tois_k = jnp.where(swept_ok, tois_k, 1.0)
 
-    # Min TOI per body over its colliders.
-    body_toi = jnp.ones((b.capacity,), jnp.float32).at[col.body_idx].min(
-        tois
-    )
+    # Min TOI per body over its swept colliders.
+    body_toi = jnp.ones((b.capacity,), jnp.float32).at[
+        col.body_idx[swept_idx]
+    ].min(tois_k)
     scale = jnp.minimum(body_toi * _TOI_EPS, 1.0)
     return s.replace(delta_pos=s.delta_pos * scale[:, None])

@@ -135,6 +135,17 @@ def narrow_phase(
     was_touching = jnp.where(matched, old.touching[old_slot], False)
     carried_color = jnp.where(matched, old.color[old_slot], -1)
 
+    # Stable contact ids (the reference's ContactEdge ids): carry matched
+    # pairs' ids; mint fresh ids for newly-entered pairs.
+    is_new = bp.valid & ~matched
+    new_rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    contact_id = jnp.where(
+        matched,
+        old.contact_id[old_slot],
+        jnp.where(is_new, old.next_contact_id + new_rank, 0),
+    )
+    next_contact_id = old.next_contact_id + jnp.sum(is_new.astype(jnp.int32))
+
     # ---- per-point warm-start matching ----------------------------------
     # For each new point, find an old point with the same feature id; fall
     # back to anchor-distance matching (contact_types/mod.rs:426-472).
@@ -204,4 +215,6 @@ def narrow_phase(
         restitution=restitution,
         surface_velocity=jnp.zeros((c_cap, 3), jnp.float32),
         color=carried_color,
+        contact_id=contact_id,
+        next_contact_id=next_contact_id,
     )

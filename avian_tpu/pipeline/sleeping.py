@@ -101,6 +101,13 @@ def update_sleeping(
     lin_t = config.sleep_linear_threshold * config.length_unit
     ang_t = config.sleep_angular_threshold
 
+    # NOTE wake-on-user-write falls out of this declarative formulation:
+    # sleeping bodies have zeroed velocities, so a *direct* write to
+    # ``bodies.lin_vel``/``ang_vel`` (not just the Forces API) makes
+    # ``below`` false, which un-readies the whole island below and wakes
+    # it — the array-world analogue of the reference's change-detection
+    # wake (``islands/sleeping.rs:558-606``). Direct *position* writes
+    # don't wake (use ``api.control.set_position``, which does).
     below = (
         (jnp.sum(bodies.lin_vel**2, axis=-1) < lin_t * lin_t)
         & (jnp.sum(bodies.ang_vel**2, axis=-1) < ang_t * ang_t)

@@ -126,3 +126,67 @@ def test_teleport_and_disable():
     world = control.enable_body(world, ball)
     w3 = physics_step(world, CFG)
     assert float(w3.bodies.pos[ball][1]) < 3.0
+
+
+def test_stable_contact_ids_persist_across_reslotting():
+    """A pair's contact id stays fixed while it persists, even as buffer
+    slots re-shuffle (reference stable ContactEdge ids)."""
+    b = SceneBuilder()
+    g = b.add_body(body_type=BodyType.STATIC)
+    b.half_space(g, normal=(0, 1, 0))
+    a1 = b.add_body(pos=(0, 0.49, 0))
+    b.sphere(a1, 0.5)
+    a2 = b.add_body(pos=(5, 2.0, 0))   # lands later -> new id later
+    b.sphere(a2, 0.5)
+    world = b.finalize(**CAPS)
+
+    def id_of(world, body):
+        c = world.contacts
+        m = np.asarray(c.active & c.touching) & (
+            (np.asarray(c.body_a) == body) | (np.asarray(c.body_b) == body)
+        )
+        ids = np.asarray(c.contact_id)[m]
+        return set(int(i) for i in ids)
+
+    import numpy as np
+
+    for _ in range(5):
+        world = physics_step(world, CFG)
+    first = id_of(world, a1)
+    assert len(first) == 1 and 0 not in first
+    for _ in range(30):
+        world = physics_step(world, CFG)
+    # a2 has landed by now: new distinct id; a1's id unchanged.
+    assert id_of(world, a1) == first
+    second = id_of(world, a2)
+    assert len(second) == 1 and second != first
+
+
+def test_direct_velocity_write_wakes_island():
+    """Writing bodies.lin_vel directly (bypassing the Forces API) wakes
+    the sleeping island on the next step (reference change-detection wake,
+    islands/sleeping.rs:558-606)."""
+    import numpy as np
+
+    b = SceneBuilder()
+    g = b.add_body(body_type=BodyType.STATIC)
+    b.half_space(g, normal=(0, 1, 0))
+    lower = b.add_body(pos=(0, 0.49, 0))
+    b.box(lower, 0.5, 0.5, 0.5)
+    upper = b.add_body(pos=(0, 1.51, 0))
+    b.box(upper, 0.5, 0.5, 0.5)
+    world = b.finalize(**CAPS)
+    for _ in range(60):
+        world = physics_step(world, CFG)
+    assert bool(world.bodies.sleeping[lower]) and bool(
+        world.bodies.sleeping[upper]
+    )
+    # Direct write: no API call, no explicit wake.
+    world = world.replace(
+        bodies=world.bodies.replace(
+            lin_vel=world.bodies.lin_vel.at[upper, 0].set(1.0)
+        )
+    )
+    world = physics_step(world, CFG)
+    assert not bool(world.bodies.sleeping[upper])
+    assert not bool(world.bodies.sleeping[lower])  # same island wakes

@@ -72,3 +72,26 @@ def test_chain_hangs_connected():
     pos = np.asarray(world.bodies.pos)
     gaps = np.linalg.norm(np.diff(pos[1:9], axis=0), axis=-1)
     np.testing.assert_allclose(gaps, 0.5, atol=0.05)
+
+
+def test_swept_ccd_rewinds_fast_body():
+    """Opt-in swept CCD (SweepMode::Linear): a very fast small bullet with
+    a tiny speculative margin must be rewound at the wall by the sweep
+    pass instead of tunneling (``ccd/mod.rs:523-687``)."""
+    b = SceneBuilder()
+    wall = b.add_body(body_type=BodyType.STATIC, pos=(5.0, 0.0, 0.0))
+    b.box(wall, 0.05, 10.0, 10.0)
+    bullet = b.add_body(
+        pos=(0.0, 0.0, 0.0), lin_vel=(300.0, 0.0, 0.0), swept_ccd=True,
+        gravity_scale=0.0,
+    )
+    # Tiny speculative margin: speculative CCD alone would tunnel.
+    b.sphere(bullet, 0.1, speculative_margin=0.05)
+    world = b.finalize(max_bodies=4, max_colliders=4, max_contacts=16)
+    cfg = PhysicsConfig(
+        max_colors=4, swept_ccd=True, shape_pairs=TEST_SHAPE_PAIRS
+    )
+    for _ in range(10):
+        world = physics_step(world, cfg)
+    x = float(world.bodies.pos[bullet][0])
+    assert x < 5.0, f"bullet tunneled: x={x}"
