@@ -46,7 +46,7 @@ from avian_tpu.core.state import World
 from avian_tpu.geometry import shapes
 from avian_tpu.math import quat as quat_m
 
-MAX_GLOBALS = 8  # max colliders with unbounded AABBs (ground planes etc.)
+MAX_GLOBALS = 16  # max colliders in the dense pass (planes, huge bodies)
 
 # The 8 cells an AABB spanning <= 2 cells per axis can overlap.
 _CELL_OFFSETS = _np.asarray(
@@ -245,6 +245,9 @@ def broad_phase(world: World, config: PhysicsConfig) -> BroadPhaseResult:
     g_score = jnp.where(is_global & col.active, 1, 0)
     g_idx = jnp.argsort(-g_score)[:g_cap]
     g_valid = g_score[g_idx] > 0
+    # Globals beyond the dense-pass capacity would be tested in NEITHER
+    # pass — count them into `dropped` so the failure is loud.
+    global_overflow = jnp.maximum(jnp.sum(g_score) - g_cap, 0)
     all_i = jnp.arange(m)
     glob_a = jnp.broadcast_to(all_i[None, :], (g_cap, m))
     glob_b = jnp.broadcast_to(g_idx[:, None], (g_cap, m))
@@ -298,5 +301,5 @@ def broad_phase(world: World, config: PhysicsConfig) -> BroadPhaseResult:
         pair_key=key_f,
         valid=valid,
         num_pairs=num,
-        dropped=(total_valid - num) + window_overflow,
+        dropped=(total_valid - num) + window_overflow + global_overflow,
     )

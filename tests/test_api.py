@@ -190,3 +190,34 @@ def test_direct_velocity_write_wakes_island():
     world = physics_step(world, CFG)
     assert not bool(world.bodies.sleeping[upper])
     assert not bool(world.bodies.sleeping[lower])  # same island wakes
+
+
+def test_collider_recipes():
+    """Data-driven spawn path (ColliderConstructor, constructor.rs:312)."""
+    import numpy as np
+    from avian_tpu.core.constructor import spawn, spawn_hierarchy
+
+    b = SceneBuilder()
+    g = b.add_body(body_type=BodyType.STATIC)
+    spawn(b, g, {"kind": "half_space", "normal": (0, 1, 0)})
+    body = b.add_body(pos=(0, 2.0, 0))
+    ids = spawn_hierarchy(
+        b, body,
+        [
+            {"kind": "sphere", "radius": 0.5},
+            ({"kind": "box", "half_x": 0.2, "half_y": 0.2, "half_z": 0.2},
+             (0.0, 0.7, 0.0), (0, 0, 0, 1)),
+        ],
+    )
+    assert len(ids) == 2
+    terrain = b.add_body(body_type=BodyType.STATIC, pos=(10, 0, 0))
+    tri_ids = spawn(
+        b, terrain,
+        {"kind": "heightfield", "heights": np.zeros((3, 3)),
+         "x_extent": 4.0, "z_extent": 4.0},
+    )
+    assert len(tri_ids) == 8
+    world = b.finalize(max_bodies=4, max_colliders=16, max_contacts=64)
+    world = physics_step(world, CFG)
+    import jax.numpy as jnp
+    assert bool(jnp.all(jnp.isfinite(world.bodies.pos)))
