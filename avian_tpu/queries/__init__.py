@@ -22,9 +22,11 @@ from avian_tpu.queries.filter import QueryFilter
 from avian_tpu.queries.accel import (
     QueryGrid,
     RayCasters,
+    ShapeCasters,
     build_query_grid,
     cast_ray_grid,
     update_ray_casters,
+    update_shape_casters,
 )
 
 __all__ = [
@@ -43,4 +45,6 @@ __all__ = [
     "build_query_grid",
     "cast_ray_grid",
     "update_ray_casters",
+    "ShapeCasters",
+    "update_shape_casters",
 ]

@@ -303,3 +303,92 @@ def update_ray_casters(
         normal=jnp.where(en[:, None], hits.normal, 0.0),
         hit=en & hits.hit,
     )
+
+
+@_register
+@dataclass(frozen=True)
+class ShapeCasters:
+    """SoA of persistent shape casters (``shape_caster.rs``), mirroring
+    :class:`RayCasters`: origin/direction live in the attached body's
+    frame (or world frame with ``body == -1``)."""
+
+    body: jnp.ndarray        # i32[K]
+    shape_type: jnp.ndarray  # i32[K] (static per slot in practice)
+    params: jnp.ndarray      # f32[K, 8]
+    origin: jnp.ndarray      # f32[K, 3]
+    rotation: jnp.ndarray    # f32[K, 4]
+    direction: jnp.ndarray   # f32[K, 3]
+    max_distance: jnp.ndarray  # f32[K]
+    enabled: jnp.ndarray     # bool[K]
+
+    @staticmethod
+    def create(casters):
+        import numpy as np
+
+        k = max(len(casters), 1)
+        body = np.full(k, -1, np.int32)
+        st = np.zeros(k, np.int32)
+        prm = np.zeros((k, 8), np.float32)
+        origin = np.zeros((k, 3), np.float32)
+        rot = np.zeros((k, 4), np.float32)
+        rot[:, 3] = 1.0
+        direction = np.zeros((k, 3), np.float32)
+        direction[:, 0] = 1.0
+        max_distance = np.full(k, 1e9, np.float32)
+        enabled = np.zeros(k, bool)
+        for i, c in enumerate(casters):
+            body[i] = c.get("body", -1)
+            st[i] = int(c["shape_type"])
+            p = np.asarray(c["params"], np.float32).reshape(-1)
+            prm[i, : p.shape[0]] = p
+            origin[i] = c.get("origin", (0, 0, 0))
+            rot[i] = c.get("rotation", (0, 0, 0, 1))
+            direction[i] = c.get("direction", (1, 0, 0))
+            max_distance[i] = c.get("max_distance", 1e9)
+            enabled[i] = True
+        return ShapeCasters(
+            body=jnp.asarray(body),
+            shape_type=jnp.asarray(st),
+            params=jnp.asarray(prm),
+            origin=jnp.asarray(origin),
+            rotation=jnp.asarray(rot),
+            direction=jnp.asarray(direction),
+            max_distance=jnp.asarray(max_distance),
+            enabled=jnp.asarray(enabled),
+        )
+
+
+def update_shape_casters(world, casters: ShapeCasters, qfilter=None):
+    """Evaluate every enabled shape caster (one call per caster slot —
+    shape type must be uniform per compiled program, so the slots are
+    looped statically like the reference's per-entity ShapeCaster
+    systems)."""
+    from avian_tpu.queries.shapecast import cast_shape
+
+    b = world.bodies
+    hits = []
+    k = casters.body.shape[0]
+    st_host = [int(x) for x in jax.device_get(casters.shape_type)]
+    for i in range(k):
+        attached = casters.body[i] >= 0
+        bidx = jnp.maximum(casters.body[i], 0)
+        bq = b.quat[bidx]
+        o = jnp.where(
+            attached,
+            b.pos[bidx] + quat_m.rotate(bq, casters.origin[i]),
+            casters.origin[i],
+        )
+        d = jnp.where(
+            attached, quat_m.rotate(bq, casters.direction[i]),
+            casters.direction[i],
+        )
+        rot = jnp.where(
+            attached, quat_m.mul(bq, casters.rotation[i]),
+            casters.rotation[i],
+        )
+        hit = cast_shape(
+            world, st_host[i], casters.params[i], o, rot, d,
+            casters.max_distance[i], qfilter=qfilter,
+        )
+        hits.append(hit)
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *hits)

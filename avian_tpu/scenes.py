@@ -168,3 +168,34 @@ def falling_hinges(rows: int = 30, cols: int = 4, half: float = 0.25):
         max_joints=max(n_joints, 1),
     )
     return world, ids
+
+
+def many_pyramids(grid: int = 10, base: int = 10, half: float = 0.5):
+    """The reference's `Many Pyramids 2D` bench scene: a ``grid x grid``
+    field of base-``base`` pyramids (10x10x base-10 -> 5500 boxes,
+    ``benches/src/dim2/mod.rs:21-24``), 2D locked-axes profile."""
+    b = SceneBuilder()
+    g = b.add_body(body_type=BodyType.STATIC)
+    b.half_space(g, normal=(0, 1, 0))
+    size = 2.0 * half
+    spacing_x = base * size + 2.0
+    ids = []
+    for gx in range(grid):
+        for gy in range(grid):
+            x_off = (gx - grid / 2) * spacing_x
+            y_off = gy * (base * size + 1.0)
+            for row in range(base):
+                n_in_row = base - row
+                y = half + row * size + y_off
+                x0 = x_off - 0.5 * n_in_row * size
+                for i in range(n_in_row):
+                    body = b.add_body_2d(
+                        pos=(x0 + (i + 0.5) * size, y * 1.0001)
+                    )
+                    b.box(body, half, half, half, friction=0.6)
+                    ids.append(body)
+    n = len(ids) + 1
+    world = b.finalize(
+        max_bodies=n, max_colliders=n, max_contacts=max(8 * n, 64)
+    )
+    return world, ids

@@ -106,3 +106,18 @@ def test_rays_hit_cylinder_cone_convex():
     h = jax.jit(lambda w: cast_ray(w, (4.3, 0.0, 0.0), (1.0, 0.0, 0.0), 10.0))(world)
     assert bool(h.hit) and int(h.collider) == 2
     assert abs(float(h.distance) - 1.2) < 2e-2
+
+
+def test_persistent_shape_casters():
+    from avian_tpu import ShapeType
+    from avian_tpu.queries.accel import ShapeCasters, update_shape_casters
+
+    world = _world()
+    casters = ShapeCasters.create(
+        [dict(shape_type=int(ShapeType.SPHERE), params=(0.4,),
+              origin=(0.0, 12.0, 0.0), direction=(0.0, -1.0, 0.0),
+              max_distance=50.0)]
+    )
+    hits = update_shape_casters(world, casters)
+    assert bool(hits.hit[0])
+    assert float(hits.distance[0]) < 12.0

@@ -11,6 +11,18 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+
+@pytest.fixture(autouse=True, scope="module")
+def _no_persistent_cache():
+    """Serializing the 8-device sharded executables into the persistent
+    compilation cache aborts the process (XLA CHECK) when it happens late
+    in a long test session; sharded programs skip the cache."""
+    jax.config.update("jax_compilation_cache_dir", None)
+    yield
+    from avian_tpu.utils.cache import enable
+
+    enable()
+
 from avian_tpu import PhysicsConfig
 from avian_tpu.parallel import (
     make_batched_step,
