@@ -21,6 +21,7 @@ N_STEPS = int(os.environ.get("BENCH_STEPS", "100"))
 # reference's Large Pyramid 2D: base 100 -> 5050 boxes, 2D locked axes).
 SCENE = os.environ.get("BENCH_SCENE", "pile")
 PYRAMID_BASE = int(os.environ.get("BENCH_PYRAMID_BASE", "100"))
+GRID = int(os.environ.get("BENCH_GRID", "10"))
 BASELINE_BODY_STEPS_PER_SEC = 5050 / 12.29e-3  # ~410,903
 
 
@@ -47,6 +48,11 @@ def main():
         from avian_tpu.scenes import box_pyramid
 
         world, ids = box_pyramid(base=PYRAMID_BASE)
+        n_bodies = len(ids)
+    elif SCENE == "many_pyramids":
+        from avian_tpu.scenes import many_pyramids
+
+        world, ids = many_pyramids(grid=GRID, base=10)  # 10x10 -> 5500 boxes
         n_bodies = len(ids)
     else:
         world, ids = cube_pile(n_cubes=N_CUBES, max_contacts=8 * N_CUBES)
@@ -115,8 +121,8 @@ def main():
         json.dumps(
             {
                 "metric": (
-                    f"body_steps_per_sec_pyramid2d_{n_bodies}"
-                    if SCENE == "pyramid2d"
+                    f"body_steps_per_sec_{SCENE}_{n_bodies}"
+                    if SCENE != "pile"
                     else f"body_steps_per_sec_cube_pile_{N_CUBES}"
                 ),
                 "value": round(body_steps_per_sec),
