@@ -382,6 +382,33 @@ class SceneBuilder:
                 faces.append((vid(i + 1, k), vid(i + 1, k + 1), vid(i, k + 1)))
         return self.trimesh(body, verts, faces, **kw)
 
+    def voxels(self, body, occupancy, voxel_size=1.0, origin=(0.0, 0.0, 0.0),
+               **kw):
+        """Voxel collider (``Collider::voxels``): one cube collider per
+        *surface* voxel of a boolean occupancy grid (interior voxels are
+        unreachable and skipped). ``origin`` is the grid's corner in the
+        body frame. Returns the collider indices."""
+        occ = np.asarray(occupancy, bool)
+        if occ.ndim != 3:
+            raise ValueError("occupancy must be [nx, ny, nz] booleans")
+        h = voxel_size / 2.0
+        filled = np.pad(occ, 1, constant_values=False)
+        interior = (
+            filled[:-2, 1:-1, 1:-1] & filled[2:, 1:-1, 1:-1]
+            & filled[1:-1, :-2, 1:-1] & filled[1:-1, 2:, 1:-1]
+            & filled[1:-1, 1:-1, :-2] & filled[1:-1, 1:-1, 2:]
+        )
+        surface = occ & ~interior
+        out = []
+        org = np.asarray(origin, np.float32)
+        lp0 = np.asarray(kw.pop("local_pos", (0.0, 0.0, 0.0)), np.float32)
+        for ix, iy, iz in zip(*np.nonzero(surface)):
+            c = org + (np.asarray([ix, iy, iz], np.float32) + 0.5) * voxel_size
+            out.append(
+                self.box(body, h, h, h, local_pos=tuple(lp0 + c), **kw)
+            )
+        return out
+
     def convex_hull(self, body, points, **kw):
         """Convex hull collider from a point cloud
         (``Collider::convex_hull``, ``parry/mod.rs:704-1170``). The hull is

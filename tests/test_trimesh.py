@@ -58,3 +58,20 @@ def test_box_pile_on_heightfield():
     # Nothing fell through the field (min height -0.3, box half 0.3).
     assert (pos[:, 1] > -0.4).all(), pos
     assert (np.abs(pos[:, 0]) < 6).all() and (np.abs(pos[:, 2]) < 6).all()
+
+
+def test_voxel_terrain():
+    """Voxel collider: surface-cell cubes (Collider::voxels analogue)."""
+    b = SceneBuilder()
+    ground = b.add_body(body_type=BodyType.STATIC, pos=(0, -0.5, 0))
+    occ = np.ones((4, 1, 4), bool)  # a 4x1x4 slab of unit voxels
+    ids = b.voxels(ground, occ, voxel_size=1.0, origin=(-2.0, 0.0, -2.0))
+    assert len(ids) == 16
+    ball = b.add_body(pos=(0.0, 2.0, 0.0))
+    b.sphere(ball, 0.4)
+    world = b.finalize(max_bodies=4, max_colliders=20, max_contacts=64)
+    cfg = PhysicsConfig(max_colors=4, shape_pairs=((0, 2),))
+    world = jax.jit(lambda w: rollout(w, cfg, 120))(world)
+    y = float(world.bodies.pos[ball][1])
+    # Slab spans y in [-0.5, 0.5]; ball rests on top at 0.5 + 0.4.
+    assert abs(y - 0.9) < 0.02, y
