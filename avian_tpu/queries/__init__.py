@@ -17,7 +17,7 @@ from avian_tpu.queries.intersect import (
     aabb_intersections,
     shape_intersections,
 )
-from avian_tpu.queries.shapecast import cast_shape, ShapeHit
+from avian_tpu.queries.shapecast import cast_shape, shape_hits, ShapeHit
 from avian_tpu.queries.filter import QueryFilter
 from avian_tpu.queries.accel import (
     QueryGrid,
@@ -38,6 +38,7 @@ __all__ = [
     "aabb_intersections",
     "shape_intersections",
     "cast_shape",
+    "shape_hits",
     "ShapeHit",
     "QueryFilter",
     "QueryGrid",

@@ -125,3 +125,39 @@ def cast_shape(
         normal=-n[i],
         hit=found,
     )
+
+
+def shape_hits(
+    world,
+    shape_type,
+    params,
+    origin,
+    rotation,
+    direction,
+    max_distance,
+    max_hits: int = 4,
+    qfilter: QueryFilter = None,
+    shape_pairs=None,
+):
+    """Up to ``max_hits`` hits along the sweep, nearest first
+    (``SpatialQuery::shape_hits``, ``system_param.rs``): repeated first-hit
+    casts, excluding each hit collider from the next round. Returns a
+    batched :class:`ShapeHit` with a leading ``max_hits`` axis.
+    """
+    qfilter = qfilter if qfilter is not None else QueryFilter()
+    m = world.colliders.capacity
+    excluded0 = jnp.broadcast_to(qfilter.excluded, (m,)) | jnp.zeros((m,), bool)
+
+    hits = []
+    excluded = excluded0
+    for _ in range(max_hits):
+        qf = QueryFilter(mask=qfilter.mask, excluded=excluded)
+        hit = cast_shape(
+            world, shape_type, params, origin, rotation, direction,
+            max_distance, qfilter=qf, shape_pairs=shape_pairs,
+        )
+        hits.append(hit)
+        excluded = excluded | (
+            (jnp.arange(m) == hit.collider) & hit.hit
+        )
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *hits)

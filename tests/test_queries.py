@@ -120,3 +120,32 @@ def test_cast_shape_sphere_onto_plane():
     assert int(hit.collider) == 0
     np.testing.assert_allclose(float(hit.distance), 4.5, atol=5e-3)
     np.testing.assert_allclose(np.asarray(hit.normal), [0, 1, 0], atol=1e-3)
+
+
+def test_shape_hits_multiple_sorted():
+    """shape_hits returns successive hits nearest-first."""
+    from avian_tpu.queries import shape_hits
+    from avian_tpu import BodyType, SceneBuilder, ShapeType
+    from avian_tpu.pipeline.broadphase import update_aabbs
+    import jax
+
+    b = SceneBuilder()
+    for x in (2.0, 5.0, 8.0):
+        body = b.add_body(body_type=BodyType.STATIC, pos=(x, 0.0, 0.0))
+        b.box(body, 0.5, 2.0, 2.0)
+    w = update_aabbs(
+        b.finalize(max_bodies=4, max_colliders=4, max_contacts=16), CFG
+    )
+    hits = jax.jit(
+        lambda w: shape_hits(
+            w, ShapeType.SPHERE, (0.4,), (-2.0, 0.0, 0.0),
+            (0.0, 0.0, 0.0, 1.0), (1.0, 0.0, 0.0), 20.0, max_hits=3,
+        ),
+        static_argnums=(),
+    )(w)
+    d = np.asarray(hits.distance)
+    assert bool(hits.hit.all())
+    # Walls at x=1.5/4.5/7.5 faces; sphere radius 0.4 from x=-2.
+    assert abs(d[0] - 3.1) < 0.05 and abs(d[1] - 6.1) < 0.05
+    assert abs(d[2] - 9.1) < 0.05
+    assert list(np.asarray(hits.collider)) == [0, 1, 2]
