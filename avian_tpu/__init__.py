@@ -27,8 +27,10 @@ from avian_tpu.core.types import (
 )
 from avian_tpu.core.state import Bodies, Colliders, Contacts, Joints, World
 from avian_tpu.core.builder import SceneBuilder
+from avian_tpu.core import constructor
 from avian_tpu.pipeline.step import physics_step, rollout
 from avian_tpu import queries, api, parallel, character, scenes
+from avian_tpu.geometry import contact_query
 from avian_tpu.utils import checkpoint, diagnostics
 
 __version__ = "0.1.0"
@@ -47,6 +49,8 @@ __all__ = [
     "Joints",
     "World",
     "SceneBuilder",
+    "constructor",
+    "contact_query",
     "physics_step",
     "rollout",
     "queries",
