@@ -157,15 +157,18 @@ def broad_phase(world: World, config: PhysicsConfig) -> BroadPhaseResult:
     ext_c = jnp.max(col.aabb_max - col.aabb_min, axis=-1)
     is_plane = ext_c > shapes.BIG
     finite = col.active & ~is_plane
-    scene_ext = jnp.max(
-        jnp.where(
-            finite[:, None], col.aabb_max, -jnp.inf
-        ).max(axis=0)
-        - jnp.where(finite[:, None], col.aabb_min, jnp.inf).min(axis=0)
-    )
-    # Relatively huge colliders (walls, big platforms) overlap far more
-    # neighbors than any window covers — test them densely instead.
-    is_big = finite & (ext_c > 0.25 * jnp.maximum(scene_ext, 1e-6))
+    # "Big" = much larger than the TYPICAL (median) collider: such bodies
+    # (walls, platforms) would blow up the grid cell size, so they get the
+    # dense pass instead. Median, not scene extent: in a small scene every
+    # object is a large fraction of the scene, and a scene-relative
+    # threshold would classify ALL colliders as big and overflow the dense
+    # pass capacity.
+    n_finite = jnp.sum(finite.astype(jnp.int32))
+    ext_sorted = jnp.sort(jnp.where(finite, ext_c, jnp.inf))
+    median_ext = ext_sorted[
+        jnp.clip(n_finite // 2, 0, ext_c.shape[0] - 1)
+    ]
+    is_big = finite & (ext_c > 4.0 * jnp.maximum(median_ext, 1e-6))
     is_global = is_plane | is_big
     in_sweep = col.active & ~is_global
 

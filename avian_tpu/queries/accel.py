@@ -79,11 +79,13 @@ def build_query_grid(world) -> QueryGrid:
     ext_c = jnp.max(col.aabb_max - col.aabb_min, axis=-1)
     is_plane = ext_c > shapes.BIG
     finite = col.active & ~is_plane
-    scene_ext = jnp.max(
-        jnp.where(finite[:, None], col.aabb_max, -jnp.inf).max(axis=0)
-        - jnp.where(finite[:, None], col.aabb_min, jnp.inf).min(axis=0)
-    )
-    is_big = finite & (ext_c > 0.25 * jnp.maximum(scene_ext, 1e-6))
+    # Median-relative "big" routing — see pipeline/broadphase.py.
+    n_finite = jnp.sum(finite.astype(jnp.int32))
+    ext_sorted = jnp.sort(jnp.where(finite, ext_c, jnp.inf))
+    median_ext = ext_sorted[
+        jnp.clip(n_finite // 2, 0, ext_c.shape[0] - 1)
+    ]
+    is_big = finite & (ext_c > 4.0 * jnp.maximum(median_ext, 1e-6))
     is_global = is_plane | is_big
     in_grid = col.active & ~is_global
 

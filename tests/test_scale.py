@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from avian_tpu import PhysicsConfig
+from avian_tpu import PhysicsConfig, physics_step
 from avian_tpu.core.types import ShapeType
 from avian_tpu.pipeline import broadphase as bp_m
 from avian_tpu.pipeline import contacts as np_m
@@ -69,3 +69,30 @@ def test_pile_settles_finite_no_overflow_drops():
     assert int(overflow_dropped) == 0, "constraints dropped from buckets"
     # Settled pile: resting penetration stays within a few cm.
     assert float(max_pen) < 0.1, f"excessive penetration {float(max_pen)}"
+
+
+def test_small_pile_complete_pairs():
+    """Regression: in a small scene every collider is a large fraction of
+    the scene extent; the 'big collider' dense-pass routing must use the
+    MEDIAN-relative criterion or the whole scene overflows the dense pass
+    and silently loses pairs (27-cube pile lost half its contacts)."""
+    from avian_tpu.scenes import cube_pile
+
+    world, _ = cube_pile(n_cubes=27)
+    cfg = PhysicsConfig()
+
+    def body(w, _):
+        return physics_step(w, cfg), None
+
+    import jax
+
+    world, _ = jax.lax.scan(body, world, None, length=60)
+    w2 = bp_m.update_aabbs(world, cfg)
+    bp = bp_m.broad_phase(w2, cfg)
+    contacts = np_m.narrow_phase(w2, bp, cfg)
+    assert int(bp.dropped) == 0
+    # A settled 3x3x3 stack: 9 ground contacts + 18 vertical pairs plus
+    # lateral neighbor pairs.
+    assert int(jnp.sum(contacts.touching)) >= 27
+    pos = np.asarray(world.bodies.pos)
+    assert np.isfinite(pos).all()
