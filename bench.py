@@ -1,39 +1,63 @@
 """Headline benchmark: body*steps/sec on a cube pile (BASELINE.md metric).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+ALWAYS prints exactly ONE JSON line to stdout and exits 0:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "device": ..., "fallback": bool, ...}
+
+Robustness design (round-3 contract — VERDICT.md item 1): the parent
+process imports NO jax. It runs the actual benchmark in a child process
+with a wall-clock deadline; if the child fails (e.g. the axon TPU tunnel
+is down: "Unable to initialize backend 'axon'", round 2) or hangs at
+backend init, the parent retries on CPU at reduced scale with a scrubbed
+environment (PYTHONPATH='' drops the axon site hook entirely, so a
+wedged tunnel cannot hang the fallback) and reports ``"fallback": true``
+with the original error. Even a double failure still emits the JSON line
+(value 0 + error) so the driver always gets a parsed record.
 
 Baseline anchor: the reference's illustrative Large Pyramid 2D number
 (12.29 ms/step for 5050 boxes, 1 thread -> ~0.41M body*steps/sec,
 /root/reference/benches/README.md:31-39). vs_baseline = ours / that.
+
+Scenes (BENCH_SCENE): pile (default, 3D cube pile, BENCH_CUBES),
+pyramid2d (reference Large Pyramid 2D, base 100 -> 5050 boxes),
+pyramid3d (reference Large Pyramid 3D, benches/src/dim3/mod.rs:17-24),
+many_pyramids (10x10 grid of base-10 pyramids -> 5500 boxes),
+many_pyramids3d (3D variant).
 """
 
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 
-import jax
-
-N_CUBES = int(os.environ.get("BENCH_CUBES", "10000"))
-N_STEPS = int(os.environ.get("BENCH_STEPS", "100"))
-# BENCH_SCENE: "pile" (default, 3D cube pile) or "pyramid2d" (the
-# reference's Large Pyramid 2D: base 100 -> 5050 boxes, 2D locked axes).
-SCENE = os.environ.get("BENCH_SCENE", "pile")
-PYRAMID_BASE = int(os.environ.get("BENCH_PYRAMID_BASE", "100"))
-GRID = int(os.environ.get("BENCH_GRID", "10"))
 BASELINE_BODY_STEPS_PER_SEC = 5050 / 12.29e-3  # ~410,903
 
 
-def main():
+# --------------------------------------------------------------------------
+# Child: the actual benchmark (imports jax; may crash or hang — parent
+# handles both).
+# --------------------------------------------------------------------------
+
+
+def run_benchmark():
+    n_cubes = int(os.environ.get("BENCH_CUBES", "10000"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "100"))
+    scene = os.environ.get("BENCH_SCENE", "pile")
+    pyramid_base = int(os.environ.get("BENCH_PYRAMID_BASE", "100"))
+    grid = int(os.environ.get("BENCH_GRID", "10"))
+    warmup = int(os.environ.get("BENCH_WARMUP", "60"))
+
     from avian_tpu.utils.cache import enable as enable_cache
 
     enable_cache()
-    from avian_tpu import PhysicsConfig
-    from avian_tpu.pipeline.step import physics_step, rollout
-    from avian_tpu.scenes import cube_pile
+    import jax
 
+    from avian_tpu import PhysicsConfig
     from avian_tpu.core.types import ShapeType
+    from avian_tpu.pipeline.step import physics_step
+    from avian_tpu.scenes import cube_pile
 
     # Reference bench protocol: 60 Hz, SubstepCount(4)
     # (/root/reference/benches/src/dim2/mod.rs:41-49).
@@ -44,40 +68,46 @@ def main():
             (ShapeType.BOX, ShapeType.PLANE),
         ),
     )
-    if SCENE == "pyramid2d":
+    if scene == "pyramid2d":
         from avian_tpu.scenes import box_pyramid
 
-        world, ids = box_pyramid(base=PYRAMID_BASE)
+        world, ids = box_pyramid(base=pyramid_base)
         n_bodies = len(ids)
-    elif SCENE == "many_pyramids":
+    elif scene == "pyramid3d":
+        from avian_tpu.scenes import box_pyramid
+
+        world, ids = box_pyramid(base=pyramid_base, dim3_depth=True)
+        n_bodies = len(ids)
+    elif scene == "many_pyramids":
         from avian_tpu.scenes import many_pyramids
 
-        world, ids = many_pyramids(grid=GRID, base=10)  # 10x10 -> 5500 boxes
+        world, ids = many_pyramids(grid=grid, base=10)  # 10x10 -> 5500 boxes
         n_bodies = len(ids)
     else:
-        world, ids = cube_pile(n_cubes=N_CUBES, max_contacts=8 * N_CUBES)
-        n_bodies = N_CUBES
+        world, ids = cube_pile(n_cubes=n_cubes, max_contacts=8 * n_cubes)
+        n_bodies = n_cubes
 
     step = jax.jit(lambda w: physics_step(w, config))
 
     # Warm up: compile + let the pile make contact so we measure the
-    # contact-rich steady state, not free fall. Run PAST the settling point
-    # (the reference bench protocol also measures the settled pile).
+    # contact-rich steady state, not free fall (the reference bench
+    # protocol also measures the settled pile).
     #
-    # CRITICAL (axon runtime): NO device->host transfer may happen before or
-    # during the timed region — a single D2H transfer permanently degrades
-    # the runtime's dispatch path ~100x for every subsequent kernel launch
-    # (measured: 0.4 ms/step before one float(world.time), 285 ms/step
-    # after). All readbacks happen AFTER timing. block_until_ready is safe.
+    # CRITICAL (axon runtime): NO device->host transfer may happen before
+    # or during the timed region — a single D2H transfer permanently
+    # degrades the runtime's dispatch path ~100x for every subsequent
+    # kernel launch (measured: 0.4 ms/step before one float(world.time),
+    # 285 ms/step after). All readbacks happen AFTER timing.
+    # block_until_ready is safe.
     world = step(world)
     jax.block_until_ready(world.bodies.pos)
-    for _ in range(60):
+    for _ in range(warmup):
         world = step(world)
     jax.block_until_ready(world.bodies.pos)
 
     t_before_dev = world.time  # device scalar; read back after timing
     t0 = time.perf_counter()
-    for _ in range(N_STEPS):
+    for _ in range(n_steps):
         world = step(world)
     jax.block_until_ready(world.bodies.pos)
     elapsed = time.perf_counter() - t0
@@ -87,7 +117,7 @@ def main():
     import numpy as np
 
     t_delta = float(world.time - t_before_dev)  # first D2H transfer
-    assert abs(t_delta - N_STEPS / 60.0) < 1e-3, (
+    assert abs(t_delta - n_steps / 60.0) < 1e-3, (
         f"sim time did not advance correctly: delta {t_delta}"
     )
     assert bool(np.isfinite(np.asarray(world.bodies.pos)).all()), "NaN state"
@@ -106,7 +136,9 @@ def main():
         w = bp_m.update_aabbs(w, config)
         bp = bp_m.broad_phase(w, config)
         contacts = np_m.narrow_phase(w, bp, config)
-        con = sol_m.prepare_constraints(w, contacts, sb_m.prepare(w.bodies), config)
+        con = sol_m.prepare_constraints(
+            w, contacts, sb_m.prepare(w.bodies), config
+        )
         return bp.dropped, con.overflow_dropped, con.num_overflow
 
     dropped, overflow_dropped, num_overflow = (int(x) for x in check(world))
@@ -115,29 +147,173 @@ def main():
     )
     assert dropped == 0, f"{dropped} broadphase pairs dropped"
 
-    steps_per_sec = N_STEPS / elapsed
+    steps_per_sec = n_steps / elapsed
     body_steps_per_sec = steps_per_sec * n_bodies
     print(
         json.dumps(
             {
                 "metric": (
-                    f"body_steps_per_sec_{SCENE}_{n_bodies}"
-                    if SCENE != "pile"
-                    else f"body_steps_per_sec_cube_pile_{N_CUBES}"
+                    f"body_steps_per_sec_{scene}_{n_bodies}"
+                    if scene != "pile"
+                    else f"body_steps_per_sec_cube_pile_{n_cubes}"
                 ),
                 "value": round(body_steps_per_sec),
                 "unit": "body*steps/sec",
                 "vs_baseline": round(
                     body_steps_per_sec / BASELINE_BODY_STEPS_PER_SEC, 3
                 ),
-                "ms_per_step": round(1000.0 * elapsed / N_STEPS, 3),
+                "ms_per_step": round(1000.0 * elapsed / n_steps, 3),
                 "dropped_pairs": dropped,
                 "overflow_constraints": num_overflow,
                 "device": str(jax.devices()[0]),
             }
-        )
+        ),
+        flush=True,
+    )
+
+
+# --------------------------------------------------------------------------
+# Parent: orchestration with deadline + CPU fallback. No jax imports here.
+# --------------------------------------------------------------------------
+
+
+def _extract_json(path):
+    """Last stdout line that parses as a JSON object with a 'metric' key."""
+    try:
+        with open(path, "r", errors="replace") as f:
+            lines = f.read().splitlines()
+    except OSError:
+        return None
+    for line in reversed(lines):
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            obj = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(obj, dict) and "metric" in obj:
+            return obj
+    return None
+
+
+def _tail(path, n=12):
+    """Most informative stderr excerpt: exception lines if present."""
+    try:
+        with open(path, "r", errors="replace") as f:
+            lines = f.read().splitlines()
+    except OSError:
+        return ""
+    errs = [
+        ln
+        for ln in lines
+        if ("Error" in ln or "error" in ln or "Assertion" in ln)
+        and not ln.startswith(" ")
+    ]
+    if errs:
+        return " | ".join(errs[-3:])
+    return "\n".join(lines[-n:])
+
+
+def _run_child(env, deadline_s):
+    """Run ``python bench.py --run`` with stdout/stderr to temp files.
+
+    Output goes to FILES, not pipes: if the child hangs at backend init
+    and is abandoned, no inherited pipe can keep the driver's read on OUR
+    stdout blocked after we exit.
+
+    Returns (json_obj_or_None, error_string_or_None).
+    """
+    out = tempfile.NamedTemporaryFile(
+        mode="w", suffix=".out", delete=False
+    )
+    err = tempfile.NamedTemporaryFile(
+        mode="w", suffix=".err", delete=False
+    )
+    child = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--run"],
+        stdout=out,
+        stderr=err,
+        env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        start_new_session=True,  # detach: abandoning it can't block us
+    )
+    out.close()
+    err.close()
+    t0 = time.time()
+    while time.time() - t0 < deadline_s:
+        rc = child.poll()
+        if rc is not None:
+            obj = _extract_json(out.name)
+            if rc == 0 and obj is not None:
+                return obj, None
+            return None, f"child rc={rc}: {_tail(err.name)}"
+        time.sleep(2.0)
+    # Deadline passed: the child is wedged (normal runs finish in
+    # minutes). Terminate it — if it was hung at axon backend init the
+    # tunnel is already unusable, and the CPU fallback runs with the
+    # axon hook dropped from PYTHONPATH so it cannot be affected.
+    try:
+        child.terminate()
+        for _ in range(10):
+            if child.poll() is not None:
+                break
+            time.sleep(1.0)
+        if child.poll() is None:
+            child.kill()
+    except OSError:
+        pass
+    return None, f"child timed out after {deadline_s}s: {_tail(err.name)}"
+
+
+def main():
+    deadline = float(os.environ.get("BENCH_DEADLINE", "900"))
+    result, error = _run_child(dict(os.environ), deadline)
+    if result is not None:
+        result["fallback"] = False
+        print(json.dumps(result), flush=True)
+        return
+
+    # ---- CPU fallback at reduced scale --------------------------------
+    env = dict(os.environ)
+    # Drop the axon site hook entirely (a wedged tunnel hangs even
+    # JAX_PLATFORMS=cpu because the register hook still initializes —
+    # see memory: axon-tpu-runtime-pitfalls).
+    env["PYTHONPATH"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("BENCH_CUBES", "1024")
+    env.setdefault("BENCH_STEPS", "25")
+    env.setdefault("BENCH_WARMUP", "30")
+    if "BENCH_CUBES" in os.environ:  # user override keeps its value
+        env["BENCH_CUBES"] = os.environ["BENCH_CUBES"]
+    cpu_deadline = float(os.environ.get("BENCH_CPU_DEADLINE", "600"))
+    result, cpu_error = _run_child(env, cpu_deadline)
+    if result is not None:
+        result["fallback"] = True
+        result["error"] = (error or "")[:400]
+        print(json.dumps(result), flush=True)
+        return
+
+    # ---- double failure: still emit the JSON line ----------------------
+    print(
+        json.dumps(
+            {
+                "metric": "body_steps_per_sec_cube_pile",
+                "value": 0,
+                "unit": "body*steps/sec",
+                "vs_baseline": 0.0,
+                "device": "none",
+                "fallback": True,
+                "error": f"tpu: {(error or '')[:300]} | cpu: "
+                f"{(cpu_error or '')[:300]}",
+            }
+        ),
+        flush=True,
     )
 
 
 if __name__ == "__main__":
-    main()
+    if "--run" in sys.argv:
+        run_benchmark()
+    else:
+        main()
