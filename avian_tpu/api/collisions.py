@@ -26,13 +26,25 @@ def started(world: World):
 
 
 def ended(world: World):
-    """bool[C]: pairs that stopped touching this step (CollisionEnd).
+    """bool[C]: pairs that stopped touching this step (CollisionEnd),
+    but are still tracked in the buffer (AABBs still overlap).
 
-    Note: pairs whose AABBs separated entirely leave the buffer; this
-    reports pairs still tracked but no longer touching.
+    Pairs that separated so fast their AABBs no longer overlap leave the
+    buffer entirely; those fire through :func:`ended_evicted` instead.
+    Full CollisionEnd coverage (``collision_events.rs:256``) is the union.
     """
     c = world.contacts
     return c.active & ~c.touching & c.was_touching
+
+
+def ended_evicted(world: World):
+    """(mask, contact_id, body_a, body_b): pairs that were touching last
+    step and left the contact buffer this step (CollisionEnd on eviction,
+    ``collision_events.rs:256``). Arrays are indexed by LAST step's slot
+    order and valid only where ``mask`` is True; each eviction is
+    reported exactly once, in the step the pair disappeared."""
+    c = world.contacts
+    return c.evicted, c.evicted_contact_id, c.evicted_body_a, c.evicted_body_b
 
 
 def contact_ids(world: World):

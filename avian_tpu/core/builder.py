@@ -233,6 +233,7 @@ class SceneBuilder:
         local_pos=(0.0, 0.0, 0.0),
         local_quat=(0.0, 0.0, 0.0, 1.0),
         friction: float = 0.5,
+        static_friction: float | None = None,
         restitution: float = 0.0,
         friction_combine: int = 0,
         restitution_combine: int = 0,
@@ -272,6 +273,11 @@ class SceneBuilder:
                 local_pos=np.asarray(local_pos, np.float32),
                 local_quat=_quat_np(local_quat),
                 friction=friction,
+                # Reference Friction: one coefficient sets both unless the
+                # static one is overridden (physics_material.rs:171-177).
+                static_friction=(
+                    friction if static_friction is None else static_friction
+                ),
                 restitution=restitution,
                 friction_combine=friction_combine,
                 restitution_combine=restitution_combine,
@@ -539,7 +545,7 @@ class SceneBuilder:
         # ---- colliders -------------------------------------------------
         col = {k: [] for k in (
             "shape_type", "params", "body_idx", "local_pos", "local_quat",
-            "friction", "restitution", "friction_combine",
+            "friction", "static_friction", "restitution", "friction_combine",
             "restitution_combine", "density", "layer_members", "layer_filter",
             "is_sensor", "collision_margin", "speculative_margin")}
         for cd in self._colliders:
@@ -548,10 +554,10 @@ class SceneBuilder:
             col["body_idx"].append(cd["body"])
             col["local_pos"].append(cd["local_pos"])
             col["local_quat"].append(cd["local_quat"])
-            for k in ("friction", "restitution", "friction_combine",
-                      "restitution_combine", "density", "layer_members",
-                      "layer_filter", "is_sensor", "collision_margin",
-                      "speculative_margin"):
+            for k in ("friction", "static_friction", "restitution",
+                      "friction_combine", "restitution_combine", "density",
+                      "layer_members", "layer_filter", "is_sensor",
+                      "collision_margin", "speculative_margin"):
                 col[k].append(cd[k])
 
         def _pad(arr, total, fill=0.0):
@@ -567,6 +573,7 @@ class SceneBuilder:
                 local_pos=jnp.asarray(_pad(np.asarray(col["local_pos"], np.float32), m)),
                 local_quat=jnp.asarray(_pad(np.asarray(col["local_quat"], np.float32), m)),
                 friction=jnp.asarray(_pad(np.asarray(col["friction"], np.float32), m)),
+                static_friction=jnp.asarray(_pad(np.asarray(col["static_friction"], np.float32), m)),
                 restitution=jnp.asarray(_pad(np.asarray(col["restitution"], np.float32), m)),
                 friction_combine=jnp.asarray(_pad(np.asarray(col["friction_combine"], np.int32), m)),
                 restitution_combine=jnp.asarray(_pad(np.asarray(col["restitution_combine"], np.int32), m)),

@@ -25,6 +25,12 @@ class SolverConfig:
     warm_start_coefficient: float = 1.0
     restitution_threshold: float = 1.0
     restitution_iterations: int = 1
+    # Tangential relative speed (in length_units/s) below which the STATIC
+    # friction coefficient bounds the friction impulse instead of the
+    # dynamic one (stiction). The reference's ``Friction`` carries both
+    # coefficients (``physics_material.rs:137-146``) though its v0.4.1
+    # solver consumes only the dynamic one; here the split is honored.
+    static_friction_speed_threshold: float = 0.1
 
     def replace(self, **kw):
         return replace(self, **kw)

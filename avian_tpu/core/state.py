@@ -153,8 +153,10 @@ class Colliders:
     body_idx: jnp.ndarray     # i32[M] owning body slot
     local_pos: jnp.ndarray    # f32[M, 3] offset on the body (ColliderTransform)
     local_quat: jnp.ndarray   # f32[M, 4]
-    # Physics material (physics_material.rs)
-    friction: jnp.ndarray            # f32[M] (dynamic == static coefficient)
+    # Physics material (physics_material.rs:137-146: dynamic + static
+    # coefficients, combined independently with the same rule)
+    friction: jnp.ndarray            # f32[M] dynamic coefficient
+    static_friction: jnp.ndarray     # f32[M] static coefficient
     restitution: jnp.ndarray         # f32[M]
     friction_combine: jnp.ndarray    # i32[M] CoefficientCombine
     restitution_combine: jnp.ndarray  # i32[M]
@@ -188,6 +190,7 @@ class Colliders:
             local_pos=f3,
             local_quat=quat_m.identity((m,)),
             friction=jnp.full((m,), 0.5, jnp.float32),
+            static_friction=jnp.full((m,), 0.5, jnp.float32),
             restitution=jnp.zeros((m,), jnp.float32),
             friction_combine=jnp.zeros((m,), jnp.int32),
             restitution_combine=jnp.zeros((m,), jnp.int32),
@@ -239,8 +242,9 @@ class Contacts:
     tangent_impulse: jnp.ndarray  # f32[C, P, 2]
     max_normal_impulse: jnp.ndarray  # f32[C, P] total applied (readback/events)
     # Combined material
-    friction: jnp.ndarray     # f32[C]
-    restitution: jnp.ndarray  # f32[C]
+    friction: jnp.ndarray         # f32[C] dynamic coefficient
+    static_friction: jnp.ndarray  # f32[C] static coefficient (stiction)
+    restitution: jnp.ndarray      # f32[C]
     # Relative surface velocity (conveyor belts; the reference manifold's
     # ``tangent_velocity``, set via CollisionHooks::modify_contacts).
     surface_velocity: jnp.ndarray  # f32[C, 3]
@@ -252,6 +256,15 @@ class Contacts:
     # re-shuffle. 0 = none; ids are unique within a World's lifetime.
     contact_id: jnp.ndarray  # i32[C]
     next_contact_id: jnp.ndarray  # i32[] monotonically increasing counter
+    # CollisionEnd completeness (``collision_events.rs:256``): pairs that
+    # were touching last step and left the buffer entirely this step
+    # (AABBs separated, so the broadphase emitted no slot for them).
+    # Indexed by LAST step's slot order; consumed via
+    # ``api.collisions.ended_evicted`` in the step they occur.
+    evicted: jnp.ndarray             # bool[C]
+    evicted_contact_id: jnp.ndarray  # i32[C]
+    evicted_body_a: jnp.ndarray      # i32[C]
+    evicted_body_b: jnp.ndarray      # i32[C]
 
     @property
     def capacity(self) -> int:
@@ -286,11 +299,16 @@ class Contacts:
             tangent_impulse=jnp.zeros((c, MAX_POINTS, 2), jnp.float32),
             max_normal_impulse=p1,
             friction=jnp.zeros((c,), jnp.float32),
+            static_friction=jnp.zeros((c,), jnp.float32),
             restitution=jnp.zeros((c,), jnp.float32),
             surface_velocity=jnp.zeros((c, 3), jnp.float32),
             color=jnp.full((c,), -1, jnp.int32),
             contact_id=jnp.zeros((c,), jnp.int32),
             next_contact_id=jnp.ones((), jnp.int32),
+            evicted=b1,
+            evicted_contact_id=i1,
+            evicted_body_a=i1,
+            evicted_body_b=i1,
         )
 
 

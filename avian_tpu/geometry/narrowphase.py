@@ -270,33 +270,9 @@ def box_plane(pa, qa, prm_a, pb, qb, prm_b) -> Manifold:
     )
 
 
-def capsule_box(pa, qa, prm_a, pb, qb, prm_b) -> Manifold:
-    """Capsule A vs box B: sample the capsule segment's two endpoints plus
-    the segment-closest point against the box (3 sphere-box queries sharing
-    the deepest normal). Robust for resting/leaning capsules."""
-    ha, ra = prm_a[0], prm_a[1]
-    axis = quat_m.rotate(qa, jnp.asarray([0.0, 1.0, 0.0], jnp.float32))
-    e0 = pa - axis * ha
-    e1 = pa + axis * ha
-
-    sph = jnp.asarray([ra, 0.0, 0.0, 0.0], jnp.float32)
-    m0 = sphere_box(e0, qa, sph, pb, qb, prm_b)
-    m1 = sphere_box(e1, qa, sph, pb, qb, prm_b)
-
-    deepest = jnp.where(m0.separation[0] <= m1.separation[0], 0, 1)
-    normal = jnp.where(deepest == 0, m0.normal, m1.normal)
-    m = _empty()
-    return Manifold(
-        normal=normal,
-        point_a=m.point_a.at[0].set(m0.point_a[0]).at[1].set(m1.point_a[0]),
-        point_b=m.point_b.at[0].set(m0.point_b[0]).at[1].set(m1.point_b[0]),
-        separation=m.separation.at[0]
-        .set(m0.separation[0])
-        .at[1]
-        .set(m1.separation[0]),
-        feature_id=m.feature_id.at[0].set(0).at[1].set(1),
-        count=jnp.asarray(2, jnp.int32),
-    )
+# (A dedicated capsule-box sampler used to live here; CAPSULE x BOX is
+# dispatched to the generic support-map path below, which handles the
+# resting/leaning cases it was written for.)
 
 
 # box_box lives in its own module (SAT + clipping).

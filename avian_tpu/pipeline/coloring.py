@@ -123,6 +123,15 @@ def color_constraints(
         row_color[:, :, None] == color_lanes[None, None, :], axis=1
     )  # [N, assignable]
 
+    # Static-contact color priority (``constraint_graph.rs:44-48,179-219``):
+    # the reference reserves its LAST colors for contacts against
+    # static/kinematic bodies and solves them last, so ground/wall normal
+    # impulses correct whatever earlier dynamic-dynamic impulses did —
+    # fighting tunneling into static geometry. Here the same effect comes
+    # from proposing the HIGHEST available color for such edges (the color
+    # scan solves colors in ascending order).
+    prefer_high = ~dyn_a | ~dyn_b
+
     unassigned = colorable & (color < 0)
     for _ in range(_ASSIGN_ROUNDS):
         both_avail = (
@@ -131,9 +140,13 @@ def color_constraints(
             & unassigned[:, None]
         )
         has = jnp.any(both_avail, axis=-1)
-        prop = jnp.where(
-            has, jnp.argmax(both_avail, axis=-1).astype(jnp.int32), -3
+        low = jnp.argmax(both_avail, axis=-1).astype(jnp.int32)
+        high = (
+            assignable
+            - 1
+            - jnp.argmax(both_avail[:, ::-1], axis=-1).astype(jnp.int32)
         )
+        prop = jnp.where(has, jnp.where(prefer_high, high, low), -3)
         prop_pad = jnp.concatenate([prop, jnp.asarray([-4], jnp.int32)])
         row_prop = prop_pad[body_edges]
         same = (row_prop[:, :, None] == row_prop[:, None, :]) & (

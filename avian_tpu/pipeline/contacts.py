@@ -185,12 +185,35 @@ def narrow_phase(
         col.friction[ca], col.friction[cb],
         col.friction_combine[ca], col.friction_combine[cb],
     )
+    # Static coefficient combined independently with the same rule
+    # (``physics_material.rs:208-212``); used by the solver's stiction
+    # branch when the tangential speed is below threshold.
+    static_friction = _combine(
+        col.static_friction[ca], col.static_friction[cb],
+        col.friction_combine[ca], col.friction_combine[cb],
+    )
     restitution = _combine(
         col.restitution[ca], col.restitution[cb],
         col.restitution_combine[ca], col.restitution_combine[cb],
     )
 
     is_sensor = col.is_sensor[ca] | col.is_sensor[cb]
+
+    # ---- CollisionEnd on eviction (collision_events.rs:256) -------------
+    # Old pairs that were touching but got no slot this step (AABBs
+    # separated -> broadphase emitted nothing) would otherwise silently
+    # never fire their end event. Reverse-match old keys against the new
+    # key set; the survivors' complement is this step's eviction list.
+    big = jnp.iinfo(jnp.int32).max
+    new_keys_sorted = jnp.sort(jnp.where(bp.valid, bp.pair_key, big))
+    loc_e = jnp.clip(
+        jnp.searchsorted(new_keys_sorted, old.pair_key), 0, c_cap - 1
+    )
+    still_tracked = new_keys_sorted[loc_e] == old.pair_key
+    evicted = old.active & old.touching & ~still_tracked
+    evicted_contact_id = jnp.where(evicted, old.contact_id, 0)
+    evicted_body_a = jnp.where(evicted, old.body_a, 0)
+    evicted_body_b = jnp.where(evicted, old.body_b, 0)
 
     return Contacts(
         pair_key=bp.pair_key,
@@ -212,9 +235,14 @@ def narrow_phase(
         tangent_impulse=warm_tp,
         max_normal_impulse=jnp.zeros_like(warm_np),
         friction=friction,
+        static_friction=static_friction,
         restitution=restitution,
         surface_velocity=jnp.zeros((c_cap, 3), jnp.float32),
         color=carried_color,
         contact_id=contact_id,
         next_contact_id=next_contact_id,
+        evicted=evicted,
+        evicted_contact_id=evicted_contact_id,
+        evicted_body_a=evicted_body_a,
+        evicted_body_b=evicted_body_b,
     )

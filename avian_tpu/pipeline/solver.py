@@ -63,7 +63,8 @@ _TK = 64          # 64:76 tangent k1,k2,k12 per point
 _NS = 76          # 76:80 initial normal speed per point
 _PM = 80          # 80:84 point mask per point
 _SV = 84          # 84:87 surface velocity (conveyor belts)
-_D = 87
+_SF = 87          # static friction coefficient (stiction)
+_D = 88
 
 # imp[C, 16]: 0:4 normal impulse, 4:12 tangent impulse (4 x 2), 12:16 total.
 
@@ -305,6 +306,7 @@ def prepare_constraints(
             normal_speed,                        # 76:80
             point_mask,                          # 80:84
             contacts.surface_velocity,           # 84:87
+            contacts.static_friction[:, None],   # 87
         ],
         axis=-1,
     )
@@ -413,6 +415,9 @@ def solve_pass(
         [s.lin_vel, s.ang_vel, s.delta_pos, s.delta_quat], axis=-1
     )
     max_overlap_speed = config.solver.max_overlap_solve_speed
+    stiction_t2 = (
+        config.solver.static_friction_speed_threshold * config.length_unit
+    ) ** 2
 
     # lax.scan over colors: one traced bucket body, compiled once. (Measured
     # on this runtime: the scanned color loop runs ~4x FASTER than unrolled
@@ -420,7 +425,8 @@ def solve_pass(
     def body(st, x):
         d, irows, a, b, rlx = x
         st, new_d = _solve_bucket(
-            st, d, irows, a, b, rlx, h, use_bias, max_overlap_speed
+            st, d, irows, a, b, rlx, h, use_bias, max_overlap_speed,
+            stiction_t2,
         )
         return st, new_d
 
@@ -436,7 +442,7 @@ def solve_pass(
 
 
 def _solve_bucket(state, d, irows, a, b, relax, h, use_bias,
-                  max_overlap_speed):
+                  max_overlap_speed, stiction_t2):
     """Solve one color bucket: 4 normal points sequentially, then friction —
     the reference's per-constraint point loops (``contact/mod.rs:267-354``),
     vectorized across the bucket. Bucket validity is baked into the point
@@ -509,6 +515,7 @@ def _solve_bucket(state, d, irows, a, b, relax, h, use_bias,
     t1 = d[:, _T1:_T1 + 3]
     t2 = d[:, _T2:_T2 + 3]
     friction = d[:, _FRICTION]
+    static_friction = d[:, _SF]
     tp_new = []
     for p in range(MAX_POINTS):
         r1 = d[:, _AA + 3 * p:_AA + 3 * p + 3]
@@ -535,7 +542,13 @@ def _solve_bucket(state, d, irows, a, b, relax, h, use_bias,
 
         delta = m_eff[:, None] * jnp.stack([vt1, vt2], axis=-1)
         acc = irows[:, 4 + 2 * p:6 + 2 * p]
-        limit = friction * np_new[:, p]
+        # Stiction: below the threshold tangential speed the static
+        # coefficient bounds the Coulomb cone; above it the dynamic one
+        # does (``physics_material.rs:137-146`` split honored in-solve).
+        mu = jnp.where(
+            vt1 * vt1 + vt2 * vt2 <= stiction_t2, static_friction, friction
+        )
+        limit = mu * np_new[:, p]
         new_acc = vec.clamp_length_max(acc - relax[:, None] * delta, limit)
         applied = (new_acc - acc) * pm[:, None]
         tp_new.append(jnp.where(pm[:, None] > 0, new_acc, acc))

@@ -96,6 +96,46 @@ def test_collision_api():
     assert not bool(jnp.any(collisions.started(w)))
 
 
+def test_collision_end_on_eviction():
+    """Fast separation: the pair leaves the contact buffer entirely and
+    must still fire CollisionEnd exactly once with its stable contact id
+    (``collision_events.rs:256``; VERDICT round-2 item 6)."""
+    b = SceneBuilder()
+    a1 = b.add_body(pos=(0.0, 0.0, 0.0), gravity_scale=0.0)
+    b.sphere(a1, 0.5)
+    a2 = b.add_body(pos=(0.9, 0.0, 0.0), gravity_scale=0.0)
+    b.sphere(a2, 0.5)
+    world = b.finalize(**CAPS)
+    world = physics_step(world, CFG)
+    assert bool(collisions.contains(world, a1, a2))
+    slot = int(collisions.get(world, a1, a2))
+    cid = int(world.contacts.contact_id[slot])
+    assert cid > 0
+    # Fling them apart so fast the AABBs no longer overlap next step.
+    world = world.replace(
+        bodies=world.bodies.replace(
+            lin_vel=world.bodies.lin_vel.at[a1].set(
+                jnp.asarray([-60.0, 0, 0])
+            ).at[a2].set(jnp.asarray([60.0, 0, 0]))
+        )
+    )
+    # The eviction fires in the step whose broadphase no longer emits the
+    # pair (one step after separation starts); exactly once overall.
+    total = 0
+    for _ in range(4):
+        world = physics_step(world, CFG)
+        mask, ids, ba, bb = collisions.ended_evicted(world)
+        mask = np.asarray(mask)
+        if mask.sum():
+            i = int(np.argmax(mask))
+            assert int(np.asarray(ids)[i]) == cid
+            assert {int(np.asarray(ba)[i]), int(np.asarray(bb)[i])} == {
+                a1, a2,
+            }
+        total += int(mask.sum())
+    assert total == 1, f"expected exactly one eviction, got {total}"
+
+
 def test_checkpoint_roundtrip_bitwise():
     world, ball = _ground_ball()
     for _ in range(30):
