@@ -29,12 +29,16 @@ from avian_tpu.pipeline import solver_body as sb_m
 from avian_tpu.pipeline import xpbd as xpbd_m
 
 
-@partial(jax.jit, static_argnames=("config", "return_diagnostics", "hooks"))
+@partial(
+    jax.jit,
+    static_argnames=("config", "return_diagnostics", "hooks", "custom_joints"),
+)
 def physics_step(
     world: World,
     config: PhysicsConfig,
     return_diagnostics: bool = False,
     hooks=None,
+    custom_joints=None,
 ):
     """Advance the world by ``config.dt`` seconds.
 
@@ -48,6 +52,18 @@ def physics_step(
     narrowphase, ``system_param.rs:771-778``) — e.g. one-way platforms zero
     out manifolds, conveyor belts inject surface velocity. Must be a static
     (hashable) object; changing it recompiles.
+
+    ``custom_joints`` is the user-constraint extension point — the
+    counterpart of implementing the reference's ``XpbdConstraint`` trait
+    (``src/dynamics/solver/xpbd/mod.rs:23-52``) and registering it in
+    ``XpbdSolverSystems::SolveUserConstraints`` (``custom_constraint.rs``).
+    A static (hashable) object with
+    ``prepare(world, s, config) -> data`` (called once per step, like
+    ``XpbdConstraint::prepare``) and ``solve(s, data, h) -> (s, data)``
+    (called every substep inside the position-solve window, before the
+    shared velocity projection). See ``avian_tpu.api.custom`` for the
+    correction helpers mirroring ``PositionConstraint``/
+    ``AngularConstraint``.
     """
     h = config.substep_dt
 
@@ -76,23 +92,30 @@ def physics_step(
     con = sol_m.prepare_constraints(world, contacts, s, config)
     has_joints = world.joints.capacity > 0  # static
     jcon = xpbd_m.prepare_joints(world, s, config) if has_joints else None
+    cdata = (
+        custom_joints.prepare(world, s, config)
+        if custom_joints is not None
+        else None
+    )
 
     # ---- substep loop (lax.scan: one traced substep, compiled once —
     # measured faster than unrolling on this runtime) ----------------------
     def substep(carry, _):
-        s, con, jcon = carry
+        s, con, jcon, cdata = carry
         s = int_m.integrate_velocities(s, inc, world.bodies, h)
         s = int_m.clamp_velocities(s, world.bodies)
         s = sol_m.warm_start(s, con, config)
         s, con = sol_m.solve_pass(s, con, h, True, config)
         s = int_m.integrate_positions(s, h)
         s, con = sol_m.solve_pass(s, con, h, False, config)
-        if jcon is not None:
-            s, jcon = xpbd_m.solve_joints(s, jcon, world.bodies, h, config)
-        return (s, con, jcon), None
+        if jcon is not None or custom_joints is not None:
+            s, jcon, cdata = xpbd_m.solve_position_constraints(
+                s, jcon, world.bodies, h, config, custom_joints, cdata
+            )
+        return (s, con, jcon, cdata), None
 
-    (s, con, jcon), _ = jax.lax.scan(
-        substep, (s, con, jcon), None, length=config.substeps
+    (s, con, jcon, cdata), _ = jax.lax.scan(
+        substep, (s, con, jcon, cdata), None, length=config.substeps
     )
 
     # ---- finalize ----------------------------------------------------------

@@ -226,19 +226,35 @@ def _angle_limit_correction(limit_axis, axis1, axis2, lim_min, lim_max, enabled)
     return jnp.where(violated[..., None], corr, 0.0), violated
 
 
-def solve_joints(
-    s: SolverState, jc: JointConstraints, bodies, h: float, config: PhysicsConfig
+def solve_position_constraints(
+    s: SolverState,
+    jc,
+    bodies,
+    h: float,
+    config: PhysicsConfig,
+    custom=None,
+    custom_data=None,
 ):
-    """One substep of joint solving + velocity projection + joint damping
-    (substep items 6-7 in SURVEY.md §3.1)."""
-    if jc.mask.shape[0] == 0:
-        return s, jc
+    """One substep of position-level constraint solving: built-in joints,
+    then USER constraints, then one shared velocity projection + damping.
 
+    ``custom`` is the TPU-native counterpart of the reference's
+    ``XpbdConstraint`` trait + ``XpbdSolverSystems::SolveUserConstraints``
+    slot (``xpbd/mod.rs:23-52``, ``custom_constraint.rs``): a static object
+    whose ``solve(s, data, h) -> (s, data)`` runs INSIDE the same
+    position-solve window as the built-in joints, so its delta-pose edits
+    are picked up by the shared velocity projection
+    (``xpbd/plugin.rs:192-240``) exactly like the reference's.
+    """
     pre_delta_pos = s.delta_pos
     pre_delta_quat = s.delta_quat
 
-    for c in range(config.max_colors):
-        s, jc = _solve_color(s, jc, (jc.color == c) & (jc.mask > 0), h)
+    has_builtin = jc is not None and jc.mask.shape[0] > 0
+    if has_builtin:
+        for c in range(config.max_colors):
+            s, jc = _solve_color(s, jc, (jc.color == c) & (jc.mask > 0), h)
+    if custom is not None:
+        s, custom_data = custom.solve(s, custom_data, h)
 
     # Velocity projection from delta-pose change (xpbd/plugin.rs:192-240).
     new_lin = (s.delta_pos - pre_delta_pos) / h
@@ -248,7 +264,19 @@ def solve_joints(
     s = s.replace(lin_vel=s.lin_vel + new_lin, ang_vel=s.ang_vel + new_ang)
 
     # Joint damping (plugin.rs:759-806).
-    s = _joint_damping(s, jc, h)
+    if has_builtin:
+        s = _joint_damping(s, jc, h)
+    return s, jc, custom_data
+
+
+def solve_joints(
+    s: SolverState, jc: JointConstraints, bodies, h: float, config: PhysicsConfig
+):
+    """One substep of joint solving + velocity projection + joint damping
+    (substep items 6-7 in SURVEY.md §3.1)."""
+    if jc.mask.shape[0] == 0:
+        return s, jc
+    s, jc, _ = solve_position_constraints(s, jc, bodies, h, config)
     return s, jc
 
 

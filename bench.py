@@ -267,7 +267,9 @@ def _run_child(env, deadline_s):
 
 
 def main():
-    deadline = float(os.environ.get("BENCH_DEADLINE", "900"))
+    # Measured: a wedged axon tunnel fails backend init only after ~25 min;
+    # don't wait for it — a healthy TPU run finishes well within 10 min.
+    deadline = float(os.environ.get("BENCH_DEADLINE", "600"))
     result, error = _run_child(dict(os.environ), deadline)
     if result is not None:
         result["fallback"] = False
