@@ -68,6 +68,34 @@ def run_benchmark():
             (ShapeType.BOX, ShapeType.PLANE),
         ),
     )
+    if scene in ("pyramid2d_native", "many_pyramids2d_native"):
+        # Dedicated [N,2] 2D profile (avian_tpu.dim2).
+        from avian_tpu.dim2.step import physics_step_2d
+        from avian_tpu.dim2 import scenes as scenes2d
+
+        config = PhysicsConfig(substeps=4, max_colors=8)
+        if scene == "pyramid2d_native":
+            world, ids = scenes2d.box_pyramid_2d(base=pyramid_base)
+        else:
+            world, ids = scenes2d.many_pyramids_2d(grid=grid, base=10)
+        n_bodies = len(ids)
+        step = jax.jit(lambda w: physics_step_2d(w, config))
+        from avian_tpu.dim2 import broadphase as bp2_m
+        from avian_tpu.dim2 import contacts as np2_m
+        from avian_tpu.dim2 import dynamics as dyn2_m
+        from avian_tpu.dim2 import solver as sol2_m
+
+        @jax.jit
+        def check(w):
+            w = bp2_m.update_aabbs(w, config)
+            bp = bp2_m.broad_phase(w, config)
+            contacts = np2_m.narrow_phase(w, bp, config)
+            con = sol2_m.prepare_constraints(
+                w, contacts, dyn2_m.prepare(w.bodies), config
+            )
+            return bp.dropped, con.overflow_dropped, con.num_overflow
+
+        return _run_timed(step, check, world, n_bodies, scene, n_steps, warmup)
     if scene == "pyramid2d":
         from avian_tpu.scenes import box_pyramid
 
@@ -88,6 +116,39 @@ def run_benchmark():
         n_bodies = n_cubes
 
     step = jax.jit(lambda w: physics_step(w, config))
+
+    # Validate capacities: no silently dropped broadphase pairs and no
+    # constraints dropped from the color buckets (cheap separate check —
+    # detection + prepare only — to avoid recompiling the full step with
+    # diagnostics).
+    from avian_tpu.pipeline import broadphase as bp_m
+    from avian_tpu.pipeline import contacts as np_m
+    from avian_tpu.pipeline import solver as sol_m
+    from avian_tpu.pipeline import solver_body as sb_m
+
+    @jax.jit
+    def check(w):
+        w = bp_m.update_aabbs(w, config)
+        bp = bp_m.broad_phase(w, config)
+        contacts = np_m.narrow_phase(w, bp, config)
+        con = sol_m.prepare_constraints(
+            w, contacts, sb_m.prepare(w.bodies), config
+        )
+        return bp.dropped, con.overflow_dropped, con.num_overflow
+
+    metric = (
+        f"body_steps_per_sec_{scene}_{n_bodies}"
+        if scene != "pile"
+        else f"body_steps_per_sec_cube_pile_{n_cubes}"
+    )
+    return _run_timed(
+        step, check, world, n_bodies, scene, n_steps, warmup, metric
+    )
+
+
+def _run_timed(step, check, world, n_bodies, scene, n_steps, warmup,
+               metric=None):
+    import jax
 
     # Warm up: compile + let the pile make contact so we measure the
     # contact-rich steady state, not free fall (the reference bench
@@ -122,25 +183,6 @@ def run_benchmark():
     )
     assert bool(np.isfinite(np.asarray(world.bodies.pos)).all()), "NaN state"
 
-    # Validate capacities: no silently dropped broadphase pairs and no
-    # constraints dropped from the color buckets (cheap separate check —
-    # detection + prepare only — to avoid recompiling the full step with
-    # diagnostics).
-    from avian_tpu.pipeline import broadphase as bp_m
-    from avian_tpu.pipeline import contacts as np_m
-    from avian_tpu.pipeline import solver as sol_m
-    from avian_tpu.pipeline import solver_body as sb_m
-
-    @jax.jit
-    def check(w):
-        w = bp_m.update_aabbs(w, config)
-        bp = bp_m.broad_phase(w, config)
-        contacts = np_m.narrow_phase(w, bp, config)
-        con = sol_m.prepare_constraints(
-            w, contacts, sb_m.prepare(w.bodies), config
-        )
-        return bp.dropped, con.overflow_dropped, con.num_overflow
-
     dropped, overflow_dropped, num_overflow = (int(x) for x in check(world))
     assert overflow_dropped == 0, (
         f"{overflow_dropped} constraints dropped from color buckets"
@@ -152,11 +194,7 @@ def run_benchmark():
     print(
         json.dumps(
             {
-                "metric": (
-                    f"body_steps_per_sec_{scene}_{n_bodies}"
-                    if scene != "pile"
-                    else f"body_steps_per_sec_cube_pile_{n_cubes}"
-                ),
+                "metric": metric or f"body_steps_per_sec_{scene}_{n_bodies}",
                 "value": round(body_steps_per_sec),
                 "unit": "body*steps/sec",
                 "vs_baseline": round(
