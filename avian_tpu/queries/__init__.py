@@ -19,6 +19,11 @@ from avian_tpu.queries.intersect import (
 )
 from avian_tpu.queries.shapecast import cast_shape, shape_hits, ShapeHit
 from avian_tpu.queries.filter import QueryFilter
+from avian_tpu.queries.predicate import (
+    cast_ray_predicate,
+    cast_shape_predicate,
+    project_point_predicate,
+)
 from avian_tpu.queries.accel import (
     QueryGrid,
     RayCasters,
@@ -41,6 +46,9 @@ __all__ = [
     "shape_hits",
     "ShapeHit",
     "QueryFilter",
+    "cast_ray_predicate",
+    "cast_shape_predicate",
+    "project_point_predicate",
     "QueryGrid",
     "RayCasters",
     "build_query_grid",

@@ -33,3 +33,55 @@ def extrapolate_poses(bodies, dt: float):
     dq = quat_m.from_scaled_axis(bodies.ang_vel * dt)
     quat = quat_m.normalize(quat_m.mul(dq, bodies.quat))
     return pos, quat
+
+
+def hermite_interpolate_poses(bodies_prev, bodies_next, alpha, dt: float):
+    """Velocity-aware cubic Hermite interpolation
+    (``interpolation.rs:138-149``, ``TransformHermiteEasing``): unlike
+    lerp/nlerp, uses the endpoint velocities, producing smooth trajectories
+    at low tick rates and correct >pi-per-step spins (where nlerp would
+    take the short way around).
+
+    Translation: standard cubic Hermite on positions with the endpoint
+    linear velocities as tangents. Rotation: Hermite on the rotation
+    vector from the previous orientation, with the endpoint angular
+    velocities as tangents and the net relative rotation as the midspan —
+    the same formulation bevy_transform_interpolation's Hermite easing
+    uses. ``dt`` is the fixed timestep between the snapshots.
+    """
+    t = jnp.asarray(alpha, jnp.float32)
+    t2 = t * t
+    t3 = t2 * t
+    h00 = 2.0 * t3 - 3.0 * t2 + 1.0
+    h10 = t3 - 2.0 * t2 + t
+    h01 = -2.0 * t3 + 3.0 * t2
+    h11 = t3 - t2
+
+    pos = (
+        h00 * bodies_prev.pos
+        + h10 * dt * bodies_prev.lin_vel
+        + h01 * bodies_next.pos
+        + h11 * dt * bodies_next.lin_vel
+    )
+
+    # Relative rotation as a rotation vector (q_next = exp(r) * q_prev).
+    q0 = bodies_prev.quat
+    q1 = bodies_next.quat
+    dot = jnp.sum(q0 * q1, axis=-1, keepdims=True)
+    q1s = jnp.where(dot < 0.0, -q1, q1)
+    rel = quat_m.mul(q1s, quat_m.conj(q0))
+    rel_w = jnp.clip(rel[..., 3:4], -1.0, 1.0)
+    angle = 2.0 * jnp.arccos(rel_w)
+    s = jnp.sqrt(jnp.maximum(1.0 - rel_w * rel_w, 1e-12))
+    axis = rel[..., :3] / s
+    r = jnp.where(angle > 1e-6, axis * angle, 2.0 * rel[..., :3])
+
+    theta = (
+        h10 * dt * bodies_prev.ang_vel
+        + h01 * r
+        + h11 * dt * bodies_next.ang_vel
+    )
+    quat = quat_m.normalize(
+        quat_m.mul(quat_m.from_scaled_axis(theta), q0)
+    )
+    return pos, quat

@@ -149,3 +149,105 @@ def test_shape_hits_multiple_sorted():
     assert abs(d[0] - 3.1) < 0.05 and abs(d[1] - 6.1) < 0.05
     assert abs(d[2] - 9.1) < 0.05
     assert list(np.asarray(hits.collider)) == [0, 1, 2]
+
+
+def _three_spheres():
+    b = SceneBuilder()
+    ids = []
+    for i, x in enumerate((-2.0, 0.0, 2.0)):
+        body = b.add_body(body_type=BodyType.STATIC, pos=(x, 0, 0))
+        b.sphere(body, 0.5)                       # collider i
+        ids.append(body)
+    w = b.finalize(max_bodies=4, max_colliders=4, max_contacts=8)
+    return update_aabbs(w, CFG), ids
+
+
+def test_cast_ray_predicate():
+    """Predicate variants (``system_param.rs:8-12,194``): a user mask
+    function evaluated per candidate filters hits."""
+    from avian_tpu.queries import cast_ray, cast_ray_predicate
+
+    world, ids = _three_spheres()
+    origin = (-10.0, 0.0, 0.0)
+    direction = (1.0, 0.0, 0.0)
+    plain = cast_ray(world, origin, direction)
+    assert bool(plain.hit) and int(plain.collider) == 0  # nearest
+
+    # Skip the nearest collider via predicate: hit the second instead.
+    hit = cast_ray_predicate(
+        world, origin, direction,
+        lambda w, i: i != int(plain.collider),
+    )
+    assert bool(hit.hit)
+    assert int(hit.collider) != int(plain.collider)
+    assert float(hit.distance) > float(plain.distance)
+
+
+def test_project_point_predicate():
+    from avian_tpu.queries import project_point, project_point_predicate
+
+    world, ids = _three_spheres()
+    res = project_point(world, (0.1, 3.0, 0.0))
+    nearest = int(res["collider"])
+    res2 = project_point_predicate(
+        world, (0.1, 3.0, 0.0), lambda w, i: i != nearest
+    )
+    assert bool(res2["hit"]) and int(res2["collider"]) != nearest
+
+
+def test_picking():
+    from avian_tpu import picking
+
+    world, ids = _three_spheres()
+    hit = picking.pick(world, (-10.0, 0.0, 0.0), (1.0, 0.0, 0.0))
+    assert bool(hit.hit)
+    # Mark only the farthest collider pickable.
+    import numpy as np
+    m = world.colliders.capacity
+    mask = np.zeros(m, bool)
+    mask[2] = True
+    hit2 = picking.pick(
+        world, (-10.0, 0.0, 0.0), (1.0, 0.0, 0.0),
+        pickable=jnp.asarray(mask),
+    )
+    assert bool(hit2.hit) and int(hit2.collider) == 2
+    # Batch picking.
+    hits = picking.pick_batch(
+        world,
+        [(-10.0, 0.0, 0.0), (0.0, 10.0, 0.0)],
+        [(1.0, 0.0, 0.0), (0.0, -1.0, 0.0)],
+    )
+    assert bool(hits.hit[0]) and bool(hits.hit[1])
+
+
+def test_hermite_interpolation():
+    """Hermite easing (``interpolation.rs:138-149``): endpoint match +
+    velocity-aware midpoint differs from lerp under curvature."""
+    import numpy as np
+    from avian_tpu import BodyType, SceneBuilder
+    from avian_tpu.utils.interpolation import (
+        hermite_interpolate_poses,
+        interpolate_poses,
+    )
+
+    b = SceneBuilder()
+    body = b.add_body(
+        pos=(0, 0, 0), lin_vel=(1.0, 2.0, 0), ang_vel=(0, 0, 5.0),
+        mass=1.0, inertia=(1, 1, 1),
+    )
+    w = b.finalize(max_bodies=2, max_colliders=1, max_contacts=4)
+    prev = w.bodies
+    nxt = prev.replace(
+        pos=prev.pos.at[body].set(jnp.asarray([1.0, 0.5, 0.0])),
+        lin_vel=prev.lin_vel.at[body].set(jnp.asarray([1.0, -2.0, 0.0])),
+    )
+    dt = 1.0 / 60.0
+    # Endpoints reproduce exactly.
+    p0, q0 = hermite_interpolate_poses(prev, nxt, 0.0, dt)
+    p1, q1 = hermite_interpolate_poses(prev, nxt, 1.0, dt)
+    np.testing.assert_allclose(np.asarray(p0), np.asarray(prev.pos), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(nxt.pos), atol=1e-6)
+    # Midpoint differs from lerp (velocity-aware curvature).
+    ph, _ = hermite_interpolate_poses(prev, nxt, 0.5, dt)
+    pl, _ = interpolate_poses(prev, nxt, 0.5)
+    assert float(jnp.abs(ph[body] - pl[body]).max()) > 1e-4
