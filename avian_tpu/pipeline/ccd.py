@@ -83,43 +83,61 @@ def solve_swept_ccd(world: World, s: SolverState, config: PhysicsConfig) -> Solv
     )
 
     def toi_one(row, i):
-        """Earliest TOI in [0, 1] of swept collider i against all others."""
-        d = sweep[i]
-        dist = vec.length(d)
-        dirn = vec.normalize_or(d, jnp.asarray([1.0, 0.0, 0.0]))
-        aa = rot_axis_angle[i]
-        ang = ang_travel[i]
+        """Earliest TOI in [0, 1] of swept collider i against all others.
+
+        The sweep is evaluated in *relative* motion: collider j advances
+        along its own delta position (and, in nonlinear mode, its own
+        accumulated rotation) during the sweep, so two swept bodies fired
+        at each other see each other (``ccd/mod.rs:523-687`` sweeps
+        CCD-vs-CCD pairs too), and a fast bullet chasing a moving target
+        gets the correct closing speed.
+        """
+        aa_i = rot_axis_angle[i]
 
         def vs_other(j):
-            def body_fn(_, state):
-                t, done = state
-                q_t = quat_m.mul(quat_m.from_scaled_axis(aa * t), quat0[i])
+            d_rel = sweep[i] - sweep[j]
+            dist = vec.length(d_rel)
+            dirn = vec.normalize_or(d_rel, jnp.asarray([1.0, 0.0, 0.0]))
+            ang = ang_travel[i] + ang_travel[j]
+            aa_j = rot_axis_angle[j]
+
+            def body_fn(k, state):
+                t, done, sep0 = state
+                q_i = quat_m.mul(quat_m.from_scaled_axis(aa_i * t), quat0[i])
+                q_j = quat_m.mul(quat_m.from_scaled_axis(aa_j * t), quat0[j])
                 mf = compute_manifold(
-                    col.shape_type[i], pos0[i] + d * t, q_t,
+                    col.shape_type[i], pos0[i] + sweep[i] * t, q_i,
                     col.params[i],
-                    col.shape_type[j], pos0[j], quat0[j], col.params[j],
+                    col.shape_type[j], pos0[j] + sweep[j] * t, q_j,
+                    col.params[j],
                     shape_pairs=pairs,
                     convex_verts=world.convex_verts,
                 )
                 sep = jnp.min(mf.separation)
-                # Conservative approach bound: linear closing speed along
-                # the normal plus the angular surface travel per unit t.
+                sep0 = jnp.where(k == 0, sep, sep0)  # separation at t=0
+                # Conservative approach bound: relative closing speed along
+                # the normal plus both bodies' angular surface travel per
+                # unit t (normal points i -> j, so closing means positive).
                 approach = jnp.dot(dirn, mf.normal) * dist + ang
                 hit = sep < 1e-4
                 step = jnp.where(
                     approach > 1e-6, sep / jnp.maximum(approach, 1e-6), 2.0
                 )
                 new_t = jnp.where(done | hit, t, t + jnp.maximum(step, 0.0))
-                return jnp.minimum(new_t, 1.5), done | hit
+                return jnp.minimum(new_t, 1.5), done | hit, sep0
 
-            t, hit = jax.lax.fori_loop(
-                0, _ITERS, body_fn, (jnp.asarray(0.0), jnp.asarray(False))
+            t, hit, sep0 = jax.lax.fori_loop(
+                0, _ITERS, body_fn,
+                (jnp.asarray(0.0), jnp.asarray(False), jnp.asarray(jnp.inf)),
             )
             valid = (
                 (j != i)
                 & col.active[j]
                 & (col.body_idx[j] != col.body_idx[i])
-                & ~b.swept_ccd[col.body_idx[j]]  # sweep vs non-swept only
+                # Pairs already touching at step start are the contact
+                # solver's job (speculative margins); rewinding them would
+                # freeze resting swept bodies in place.
+                & (sep0 > 1e-4)
                 & layers_ok[row, j]
             )
             return jnp.where(valid & hit, t, 1.0)

@@ -95,3 +95,32 @@ def test_swept_ccd_rewinds_fast_body():
         world = physics_step(world, cfg)
     x = float(world.bodies.pos[bullet][0])
     assert x < 5.0, f"bullet tunneled: x={x}"
+
+
+def test_swept_ccd_vs_swept_ccd():
+    """Two swept-CCD bullets fired at each other must not pass through
+    each other: the sweep evaluates pairs in relative motion, so
+    CCD-vs-CCD pairs are visible (``ccd/mod.rs:523-687``)."""
+    b = SceneBuilder()
+    left = b.add_body(
+        pos=(-4.0, 0.0, 0.0), lin_vel=(150.0, 0.0, 0.0), swept_ccd=True,
+        gravity_scale=0.0,
+    )
+    b.sphere(left, 0.1, speculative_margin=0.05)
+    right = b.add_body(
+        pos=(4.0, 0.0, 0.0), lin_vel=(-150.0, 0.0, 0.0), swept_ccd=True,
+        gravity_scale=0.0,
+    )
+    b.sphere(right, 0.1, speculative_margin=0.05)
+    world = b.finalize(max_bodies=4, max_colliders=4, max_contacts=16)
+    cfg = PhysicsConfig(
+        max_colors=4, swept_ccd=True, shape_pairs=TEST_SHAPE_PAIRS
+    )
+    for _ in range(12):
+        world = physics_step(world, cfg)
+    xl = float(world.bodies.pos[left][0])
+    xr = float(world.bodies.pos[right][0])
+    # Without CCD-vs-CCD each closes 2.5/step and they swap sides by
+    # step 4; with it they meet near x=0 and never interpenetrate/cross.
+    assert xl <= xr + 0.2, f"bullets crossed: left={xl:.2f} right={xr:.2f}"
+    assert np.isfinite([xl, xr]).all()
