@@ -94,6 +94,13 @@ class Bodies:
     sleep_timer: jnp.ndarray   # f32[N]
     sleep_disabled: jnp.ndarray  # bool[N] (SleepingDisabled)
     island: jnp.ndarray        # i32[N] island label (computed each step)
+    # Pose snapshot taken by ``update_sleeping`` at the end of every step.
+    # A *sleeping* body is never integrated, so if its live pose differs
+    # from this snapshot at the next step's end, the user teleported it by
+    # writing ``bodies.pos``/``quat`` directly — the array-world analogue
+    # of the reference's change-detection wake (``islands/sleeping.rs:558``).
+    sleep_pos: jnp.ndarray     # f32[N, 3]
+    sleep_quat: jnp.ndarray    # f32[N, 4]
 
     @property
     def capacity(self) -> int:
@@ -140,6 +147,8 @@ class Bodies:
             sleep_timer=f1,
             sleep_disabled=jnp.zeros((n,), bool),
             island=jnp.zeros((n,), jnp.int32),
+            sleep_pos=f3,
+            sleep_quat=quat_m.identity((n,)),
         )
 
 

@@ -101,17 +101,33 @@ def update_sleeping(
     lin_t = config.sleep_linear_threshold * config.length_unit
     ang_t = config.sleep_angular_threshold
 
-    # NOTE wake-on-user-write falls out of this declarative formulation:
-    # sleeping bodies have zeroed velocities, so a *direct* write to
-    # ``bodies.lin_vel``/``ang_vel`` (not just the Forces API) makes
-    # ``below`` false, which un-readies the whole island below and wakes
-    # it — the array-world analogue of the reference's change-detection
-    # wake (``islands/sleeping.rs:558-606``). Direct *position* writes
-    # don't wake (use ``api.control.set_position``, which does).
+    # Wake-on-user-write falls out of this declarative formulation
+    # (``islands/sleeping.rs:558-606`` change-detection semantics):
+    # - velocity writes: sleeping bodies have zeroed velocities, so a
+    #   direct write to ``bodies.lin_vel``/``ang_vel`` makes ``below``
+    #   false, which un-readies (wakes) the whole island;
+    # - position writes: sleeping bodies are never integrated, so a live
+    #   pose that differs from the ``sleep_pos``/``sleep_quat`` snapshot
+    #   taken at the end of the previous step means the user teleported
+    #   the body by writing the pytree directly — treat it as not
+    #   sleep-ready, which wakes its island the same way.
+    teleported = bodies.sleeping & (
+        jnp.any(jnp.abs(bodies.pos - bodies.sleep_pos) > 1e-6, axis=-1)
+        | jnp.any(jnp.abs(bodies.quat - bodies.sleep_quat) > 1e-6, axis=-1)
+    )
+    # Wake the teleported body's *previous* island, not just the current
+    # one: moving it away severs its contacts this very step, but the
+    # bodies it was resting on/under must wake (they may be unsupported
+    # now). ``bodies.island`` still holds last step's labels here.
+    tele_island = jnp.zeros((n + 1,), bool).at[
+        jnp.where(teleported, bodies.island, n)
+    ].set(True, mode="drop")[:n]
+    teleported = teleported | tele_island[bodies.island]
     below = (
         (jnp.sum(bodies.lin_vel**2, axis=-1) < lin_t * lin_t)
         & (jnp.sum(bodies.ang_vel**2, axis=-1) < ang_t * ang_t)
         & ~bodies.sleep_disabled
+        & ~teleported
     )
     timer = jnp.where(below, bodies.sleep_timer + config.dt, 0.0)
 
@@ -139,4 +155,6 @@ def update_sleeping(
         island=island,
         lin_vel=jnp.where(sleep[:, None], z3, bodies.lin_vel),
         ang_vel=jnp.where(sleep[:, None], z3, bodies.ang_vel),
+        sleep_pos=bodies.pos,
+        sleep_quat=bodies.quat,
     )

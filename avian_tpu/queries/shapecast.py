@@ -56,7 +56,7 @@ class ShapeHit:
     hit: jnp.ndarray       # bool[]
 
 
-def cast_shape(
+def _sweep_all(
     world,
     shape_type,
     params,
@@ -64,16 +64,16 @@ def cast_shape(
     rotation,
     direction,
     max_distance,
-    qfilter: QueryFilter = None,
-    shape_pairs=None,
-) -> ShapeHit:
-    """First hit when sweeping the shape from ``origin`` along
-    ``direction`` (unit) up to ``max_distance``.
+    qfilter: QueryFilter,
+    shape_pairs,
+):
+    """Per-collider conservative advancement: one sweep of the scene.
 
-    ``shape_pairs``: optional static canonical pair hint (defaults to the
-    world's own shape set x the cast shape) restricting which narrowphase
-    branches are lowered."""
-    qfilter = qfilter if qfilter is not None else QueryFilter()
+    Returns ``(t, pa, pb, n)`` with ``t[i]`` the travel distance to
+    collider ``i`` (``_BIG`` where filtered out or missed); both
+    :func:`cast_shape` (argmin) and :func:`shape_hits` (top-k) are
+    selections over this single sweep.
+    """
     pairs = _cast_pairs(world, int(shape_type), shape_pairs)
     col = world.colliders
     pos, quat = update_collider_poses(world)
@@ -114,6 +114,32 @@ def cast_shape(
         col.shape_type, pos, quat, col.params
     )
     t = jnp.where(ok & hit, t, _BIG)
+    return t, pa, pb, n
+
+
+def cast_shape(
+    world,
+    shape_type,
+    params,
+    origin,
+    rotation,
+    direction,
+    max_distance,
+    qfilter: QueryFilter = None,
+    shape_pairs=None,
+) -> ShapeHit:
+    """First hit when sweeping the shape from ``origin`` along
+    ``direction`` (unit) up to ``max_distance``.
+
+    ``shape_pairs``: optional static canonical pair hint (defaults to the
+    world's own shape set x the cast shape) restricting which narrowphase
+    branches are lowered."""
+    qfilter = qfilter if qfilter is not None else QueryFilter()
+    t, pa, pb, n = _sweep_all(
+        world, shape_type, params, origin, rotation, direction,
+        max_distance, qfilter, shape_pairs,
+    )
+    col = world.colliders
     i = jnp.argmin(t)
     found = t[i] < _BIG
     return ShapeHit(
@@ -140,24 +166,33 @@ def shape_hits(
     shape_pairs=None,
 ):
     """Up to ``max_hits`` hits along the sweep, nearest first
-    (``SpatialQuery::shape_hits``, ``system_param.rs``): repeated first-hit
-    casts, excluding each hit collider from the next round. Returns a
-    batched :class:`ShapeHit` with a leading ``max_hits`` axis.
+    (``SpatialQuery::shape_hits``, ``system_param.rs``): ONE scene sweep
+    computes every collider's TOI; the ``max_hits`` nearest are read off
+    with ``top_k`` (each collider hits at most once, so this equals the
+    reference's exclude-and-recast loop at 1/max_hits the cost). Returns
+    a batched :class:`ShapeHit` with a leading ``max_hits`` axis.
     """
     qfilter = qfilter if qfilter is not None else QueryFilter()
-    m = world.colliders.capacity
-    excluded0 = jnp.broadcast_to(qfilter.excluded, (m,)) | jnp.zeros((m,), bool)
-
-    hits = []
-    excluded = excluded0
-    for _ in range(max_hits):
-        qf = QueryFilter(mask=qfilter.mask, excluded=excluded)
-        hit = cast_shape(
-            world, shape_type, params, origin, rotation, direction,
-            max_distance, qfilter=qf, shape_pairs=shape_pairs,
-        )
-        hits.append(hit)
-        excluded = excluded | (
-            (jnp.arange(m) == hit.collider) & hit.hit
-        )
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *hits)
+    t, pa, pb, n = _sweep_all(
+        world, shape_type, params, origin, rotation, direction,
+        max_distance, qfilter, shape_pairs,
+    )
+    col = world.colliders
+    k = min(max_hits, col.capacity)
+    neg_t, idx = jax.lax.top_k(-t, k)  # ascending travel distance
+    tk = -neg_t
+    found = tk < _BIG
+    if k < max_hits:  # pad to the requested static width with misses
+        pad = max_hits - k
+        idx = jnp.concatenate([idx, jnp.zeros((pad,), idx.dtype)])
+        tk = jnp.concatenate([tk, jnp.full((pad,), _BIG, tk.dtype)])
+        found = jnp.concatenate([found, jnp.zeros((pad,), bool)])
+    return ShapeHit(
+        collider=jnp.where(found, idx, -1).astype(jnp.int32),
+        body=jnp.where(found, col.body_idx[idx], -1).astype(jnp.int32),
+        distance=jnp.where(found, tk, jnp.inf),
+        point_a=pa[idx],
+        point_b=pb[idx],
+        normal=-n[idx],
+        hit=found,
+    )

@@ -68,6 +68,11 @@ def load(path: str) -> World:
                 kw[f.name] = jax.numpy.zeros((), bool)  # older checkpoints
             elif f.name == "convex_verts" and key not in data.files:
                 kw[f.name] = jax.numpy.zeros((1, 3), jax.numpy.float32)
+            elif f.name in ("sleep_pos", "sleep_quat") and key not in data.files:
+                # Older checkpoints: snapshot = live pose, so restored
+                # sleeping bodies don't read as user-teleported.
+                src = "pos" if f.name == "sleep_pos" else "quat"
+                kw[f.name] = jax.numpy.asarray(data[f"{prefix}{src}"])
             else:
                 kw[f.name] = jax.numpy.asarray(data[key])
         return cls(**kw)

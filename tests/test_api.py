@@ -232,6 +232,41 @@ def test_direct_velocity_write_wakes_island():
     assert not bool(world.bodies.sleeping[lower])  # same island wakes
 
 
+def test_direct_position_write_wakes_island():
+    """Teleporting a sleeping body by writing bodies.pos directly (no
+    set_position call) wakes it and its island: sleeping bodies are never
+    integrated, so a pose differing from the engine's end-of-step
+    snapshot must be a user write (islands/sleeping.rs:558-606)."""
+    import numpy as np
+
+    b = SceneBuilder()
+    g = b.add_body(body_type=BodyType.STATIC)
+    b.half_space(g, normal=(0, 1, 0))
+    lower = b.add_body(pos=(0, 0.49, 0))
+    b.box(lower, 0.5, 0.5, 0.5)
+    upper = b.add_body(pos=(0, 1.51, 0))
+    b.box(upper, 0.5, 0.5, 0.5)
+    world = b.finalize(**CAPS)
+    for _ in range(60):
+        world = physics_step(world, CFG)
+    assert bool(world.bodies.sleeping[upper])
+    # Raw pytree teleport: lift the upper box into the air.
+    world = world.replace(
+        bodies=world.bodies.replace(
+            pos=world.bodies.pos.at[upper, 1].set(3.0)
+        )
+    )
+    world = physics_step(world, CFG)
+    world = physics_step(world, CFG)
+    assert not bool(world.bodies.sleeping[upper])
+    assert not bool(world.bodies.sleeping[lower])  # island woke too
+    # And the woken body actually falls again.
+    y0 = float(world.bodies.pos[upper, 1])
+    for _ in range(30):
+        world = physics_step(world, CFG)
+    assert float(world.bodies.pos[upper, 1]) < y0 - 0.05
+
+
 def test_collider_recipes():
     """Data-driven spawn path (ColliderConstructor, constructor.rs:312)."""
     import numpy as np
