@@ -254,6 +254,7 @@ class SceneBuilder:
             ShapeType.PLANE,
             ShapeType.CYLINDER,
             ShapeType.CONE,
+            ShapeType.SEGMENT,
             ShapeType.CONVEX,
         )
         if ShapeType(int(shape)) not in supported:
@@ -316,6 +317,43 @@ class SceneBuilder:
     def cone(self, body, radius, height, **kw):
         """Cone with base disc at local y=-height/2, apex at +height/2."""
         return self.add_collider(body, ShapeType.CONE, (height / 2, radius), **kw)
+
+    def segment(self, body, a, b, **kw):
+        """Segment collider between world-of-body-local endpoints ``a`` and
+        ``b`` (reference ``Collider::segment``, ``parry/mod.rs:817``).
+        Zero-volume: massless, meant for static geometry / sensors.
+
+        Stored canonically as a half-length on the local X axis, with the
+        collider's local transform carrying the midpoint and orientation.
+        """
+        a = np.asarray(a, np.float32)
+        bb = np.asarray(b, np.float32)
+        mid = (a + bb) / 2.0
+        d = bb - a
+        length = float(np.linalg.norm(d))
+        if length < 1e-9:
+            raise ValueError("segment endpoints coincide")
+        dn = d / length
+        # Quaternion rotating local +X onto the segment direction.
+        x = np.asarray([1.0, 0.0, 0.0], np.float32)
+        c = float(np.dot(x, dn))
+        axis = np.cross(x, dn)
+        s = float(np.linalg.norm(axis))
+        if s < 1e-9:
+            q = (
+                np.asarray([0, 0, 0, 1], np.float32)
+                if c > 0
+                else np.asarray([0, 0, 1, 0], np.float32)  # 180 deg about Z
+            )
+        else:
+            axis = axis / s
+            half = 0.5 * np.arctan2(s, c)
+            q = np.asarray([*(np.sin(half) * axis), np.cos(half)], np.float32)
+        lp = np.asarray(kw.pop("local_pos", (0.0, 0.0, 0.0)), np.float32)
+        return self.add_collider(
+            body, ShapeType.SEGMENT, (length / 2.0,),
+            local_pos=tuple(lp + mid), local_quat=tuple(q), **kw,
+        )
 
     def triangle(self, body, a, b, c, **kw):
         """A single (double-sided) triangle collider — a 3-vertex entry in

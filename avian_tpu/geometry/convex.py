@@ -57,6 +57,7 @@ _DISC_COS = _np.cos(_DISC_ANGLES).astype(_np.float32)
 _DISC_SIN = _np.sin(_DISC_ANGLES).astype(_np.float32)
 
 _Y = _np.asarray([0.0, 1.0, 0.0], _np.float32)
+_XAXIS = _np.asarray([1.0, 0.0, 0.0], _np.float32)
 
 
 def _nrm(d, fallback=None):
@@ -82,6 +83,14 @@ def support_capsule(prm, d):
 
 def support_box(prm, d):
     return jnp.where(d >= 0.0, prm[:3], -prm[:3])
+
+
+def support_segment(prm, d):
+    """Segment on local X with half-length ``prm[0]``
+    (reference ``parry/mod.rs:817`` ``Collider::segment``)."""
+    h = prm[0]
+    sx = jnp.sign(d[0]) + (d[0] == 0.0)
+    return jnp.asarray(_XAXIS) * (h * sx)
 
 
 def support_cylinder(prm, d):
@@ -145,6 +154,24 @@ def patch_capsule(prm, d):
     pts = jnp.where(is_side, pts.at[0].set(p0).at[1].set(p1), pts)
     nf = jnp.where(is_side, perp, dn)
     cnt = jnp.where(is_side, 2, 1).astype(jnp.int32)
+    return pts, nf, cnt
+
+
+def patch_segment(prm, d):
+    """Segment patch: the whole edge when the direction is mostly
+    perpendicular to the segment axis, else the near endpoint."""
+    h = prm[0]
+    dn = _nrm(d)
+    perp = jnp.asarray([0.0, 1.0, 1.0], jnp.float32) * dn
+    perp = _nrm(perp, jnp.asarray(_Y))
+    is_edge = jnp.abs(dn[0]) < (1.0 - _SIDE_TOL)
+    p0 = -h * jnp.asarray(_XAXIS)
+    p1 = h * jnp.asarray(_XAXIS)
+    end = support_segment(prm, d)
+    pts = jnp.broadcast_to(end, (_PATCH, 3))
+    pts = jnp.where(is_edge, pts.at[0].set(p0).at[1].set(p1), pts)
+    nf = jnp.where(is_edge, perp, dn)
+    cnt = jnp.where(is_edge, 2, 1).astype(jnp.int32)
     return pts, nf, cnt
 
 
@@ -420,8 +447,16 @@ def generic_convex_pair(support_a, patch_a, support_b, patch_b,
 
         align_a = vec.dot(nf_a, n)
         align_b = vec.dot(nf_b, -n)
-        snap_a = (align_a >= align_b) & (align_a > _FACE_SNAP) & (cnt_a >= 2)
-        snap_b = (align_b > align_a) & (align_b > _FACE_SNAP) & (cnt_b >= 2)
+        # Only multi-point patches are snap candidates, and they compete
+        # only with each other: a 1-point patch (sphere pole, cylinder
+        # rim) always has align == 1 by construction and must not veto
+        # the other side's flat feature (e.g. sphere-vs-segment, where
+        # the subgradient normal stalls at the |d_x| kink of the long
+        # Minkowski capsule and the edge snap is the cure).
+        elig_a = (align_a > _FACE_SNAP) & (cnt_a >= 2)
+        elig_b = (align_b > _FACE_SNAP) & (cnt_b >= 2)
+        snap_a = elig_a & (~elig_b | (align_a >= align_b))
+        snap_b = elig_b & ~snap_a
         n = jnp.where(snap_a, nf_a, jnp.where(snap_b, -nf_b, n))
         # Flat shapes dominate: any frontal contact snaps to their plane.
         flat_a = (

@@ -288,6 +288,7 @@ _SHAPE_SUPPORT = {
     ShapeType.BOX: (_cx.support_box, _cx.patch_box),
     ShapeType.CYLINDER: (_cx.support_cylinder, _cx.patch_cylinder),
     ShapeType.CONE: (_cx.support_cone, _cx.patch_cone),
+    ShapeType.SEGMENT: (_cx.support_segment, _cx.patch_segment),
 }
 
 
@@ -372,6 +373,15 @@ _CANONICAL = [
     (ShapeType.CYLINDER, ShapeType.CYLINDER, _generic(ShapeType.CYLINDER, ShapeType.CYLINDER)),
     (ShapeType.CYLINDER, ShapeType.CONE, _generic(ShapeType.CYLINDER, ShapeType.CONE)),
     (ShapeType.CONE, ShapeType.CONE, _generic(ShapeType.CONE, ShapeType.CONE)),
+    (ShapeType.SPHERE, ShapeType.SEGMENT, _generic(ShapeType.SPHERE, ShapeType.SEGMENT)),
+    (ShapeType.CAPSULE, ShapeType.SEGMENT, _generic(ShapeType.CAPSULE, ShapeType.SEGMENT)),
+    (ShapeType.BOX, ShapeType.SEGMENT, _generic(ShapeType.BOX, ShapeType.SEGMENT)),
+    (ShapeType.PLANE, ShapeType.SEGMENT,
+     _swapped(_cx.support_patch_plane_pair(_cx.support_segment, _cx.patch_segment))),
+    (ShapeType.CYLINDER, ShapeType.SEGMENT, _generic(ShapeType.CYLINDER, ShapeType.SEGMENT)),
+    (ShapeType.CONE, ShapeType.SEGMENT, _generic(ShapeType.CONE, ShapeType.SEGMENT)),
+    (ShapeType.SEGMENT, ShapeType.SEGMENT, _generic(ShapeType.SEGMENT, ShapeType.SEGMENT)),
+    (ShapeType.SEGMENT, ShapeType.CONVEX, _generic_convex(ShapeType.SEGMENT)),
     (ShapeType.SPHERE, ShapeType.CONVEX, _generic_convex(ShapeType.SPHERE)),
     (ShapeType.CAPSULE, ShapeType.CONVEX, _generic_convex(ShapeType.CAPSULE)),
     (ShapeType.BOX, ShapeType.CONVEX, _generic_convex(ShapeType.BOX)),

@@ -149,3 +149,29 @@ def test_dispatch_swaps():
     )
     np.testing.assert_allclose(np.asarray(m.normal), [0, 1, 0], atol=1e-6)
     np.testing.assert_allclose(float(m.separation[0]), -0.2, atol=1e-6)
+
+
+def test_sphere_segment_manifold():
+    """Sphere resting over the middle of a segment on the X axis
+    (``Collider::segment``, parry/mod.rs:817)."""
+    m = nf.compute_manifold(
+        jnp.asarray(0), jnp.asarray([0.2, 0.4, 0.0]), ID, _prm(0.5),
+        jnp.asarray(6), jnp.zeros(3), ID, _prm(2.0),
+    )
+    assert int(m.count) >= 1
+    i = int(np.argmin(np.asarray(m.separation)))
+    np.testing.assert_allclose(float(m.separation[i]), -0.1, atol=2e-2)
+    # Normal from sphere toward the segment: -Y.
+    np.testing.assert_allclose(np.asarray(m.normal), [0, -1, 0], atol=0.05)
+
+
+def test_box_segment_manifold():
+    """Box resting on a segment running under its bottom face."""
+    m = nf.compute_manifold(
+        jnp.asarray(2), jnp.asarray([0.0, 0.45, 0.0]), ID, _prm(0.5, 0.5, 0.5),
+        jnp.asarray(6), jnp.zeros(3), ID, _prm(3.0),
+    )
+    assert int(m.count) >= 1
+    sep = np.asarray(m.separation)[: int(m.count)]
+    assert sep.min() < -0.02  # penetrating by ~0.05
+    np.testing.assert_allclose(np.asarray(m.normal), [0, -1, 0], atol=0.05)
