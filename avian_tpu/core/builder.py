@@ -244,6 +244,7 @@ class SceneBuilder:
         collision_margin: float = 0.0,
         speculative_margin: float = _INF,
         _hull_cache=None,
+        _mass_cache=None,
     ) -> int:
         # Loud failure for shapes with no narrowphase support: a collider
         # that silently produces no contacts falls through the world.
@@ -289,6 +290,7 @@ class SceneBuilder:
                 collision_margin=collision_margin,
                 speculative_margin=speculative_margin,
                 hull_cache=_hull_cache,
+                mass_cache=_mass_cache,
             )
         )
         return len(self._colliders) - 1
@@ -353,6 +355,60 @@ class SceneBuilder:
         return self.add_collider(
             body, ShapeType.SEGMENT, (length / 2.0,),
             local_pos=tuple(lp + mid), local_quat=tuple(q), **kw,
+        )
+
+    def round_cuboid(self, body, x_len, y_len, z_len, border_radius, **kw):
+        """Cuboid with rounded edges/corners: Minkowski sum of an inner box
+        (half extents = lengths/2) and a sphere of ``border_radius``
+        (reference ``Collider::round_cuboid``, ``parry/mod.rs:763-777``).
+
+        Implemented as a round convex hull: the 8 inner corners go in the
+        vertex pool and params lane 6 carries the radius — support grows by
+        ``r*d_hat``, patches lift by ``r`` (``geometry/convex.py``), the
+        raycast kernel traces the inflated surface. Mass properties use the
+        exact Steiner volume of the rounded solid with the inertia of the
+        bounding box of that volume (slight overestimate concentrated at
+        the rounded corners; exact at r=0).
+        """
+        hx, hy, hz = x_len / 2.0, y_len / 2.0, z_len / 2.0
+        r = float(border_radius)
+        if r < 0.0 or min(hx, hy, hz) <= 0.0:
+            raise ValueError("round_cuboid needs positive extents, r >= 0")
+        corners = np.asarray(
+            [
+                (sx * hx, sy * hy, sz * hz)
+                for sx in (-1.0, 1.0)
+                for sy in (-1.0, 1.0)
+                for sz in (-1.0, 1.0)
+            ],
+            np.float32,
+        )
+        offset = sum(v.shape[0] for v in self._convex_verts)
+        self._convex_verts.append(corners)
+        dens = float(kw.get("density", 1.0))
+        # Steiner: V = V_box + A*r + pi*L_edges/4 * r^2 + 4/3 pi r^3.
+        vol = (
+            8.0 * hx * hy * hz
+            + 8.0 * (hx * hy + hy * hz + hz * hx) * r
+            + 2.0 * _PI * (hx + hy + hz) * r * r
+            + (4.0 / 3.0) * _PI * r**3
+        )
+        m = dens * vol
+        ox, oy, oz = hx + r, hy + r, hz + r
+        i3 = (
+            np.asarray(
+                [oy * oy + oz * oz, ox * ox + oz * oz, ox * ox + oy * oy],
+                np.float32,
+            )
+            * (m / 3.0)
+        )
+        i6 = np.concatenate([i3, np.zeros(3, np.float32)]).astype(np.float32)
+        return self.add_collider(
+            body,
+            ShapeType.CONVEX,
+            (float(offset), 8.0, ox, oy, oz, 0.0, r),
+            _mass_cache=(np.float32(m), i6, np.zeros(3, np.float32)),
+            **kw,
         )
 
     def triangle(self, body, a, b, c, **kw):
@@ -645,6 +701,8 @@ class SceneBuilder:
                     cm[ci], ci6[ci], ccom[ci] = _hull_mass_props_np(
                         pts_h, hull_h, cd["density"]
                     )
+                if cd.get("mass_cache") is not None:
+                    cm[ci], ci6[ci], ccom[ci] = cd["mass_cache"]
             lp = np.asarray(col["local_pos"], np.float32).reshape(nc, 3)
             # Shape COM in body frame (identity local_quat assumed for the
             # axis-aligned primitive inertias; hull inertia is about its

@@ -668,9 +668,13 @@ def support_patch_plane_pair(support_fn, patch_fn):
 
 
 # ---------------------------------------------------------------------------
-# Convex hulls (vertex pools). ``prm`` = (offset, count, hx, hy, hz) into the
-# world's shared vertex pool; support/patch take the pool as a third arg
-# (wired by the dispatcher, which tags these with ``needs_pool``).
+# Convex hulls (vertex pools). ``prm`` = (offset, count, hx, hy, hz, flat,
+# round_radius) into the world's shared vertex pool; support/patch take the
+# pool as a third arg (wired by the dispatcher, which tags these with
+# ``needs_pool``). A positive lane-6 radius makes the shape the Minkowski
+# sum of the hull and a sphere — Parry's RoundShape (reference
+# ``Collider::round_cuboid``, ``parry/mod.rs:763-777``): support grows by
+# ``r * d_hat`` and contact patches lift by ``r`` along their face normal.
 # ---------------------------------------------------------------------------
 
 MAX_HULL_VERTS = 32
@@ -687,7 +691,28 @@ def _hull_verts(prm, pool):
 def support_convex(prm, d, pool):
     verts, valid = _hull_verts(prm, pool)
     dots = jnp.where(valid, verts @ d, -1e30)
-    return verts[jnp.argmax(dots)]
+    return verts[jnp.argmax(dots)] + prm[6] * _nrm(d)
+
+
+def closest_point_on_hull(prm, p, pool, iters=16):
+    """Closest point of the INNER hull to local point ``p`` (Frank-Wolfe
+    on min |x-p|^2; exact for interior points: converges to ``p``).
+    Ignores the round radius — callers offset by ``prm[6]`` themselves."""
+    verts, valid = _hull_verts(prm, pool)
+    x = jnp.where(valid[:, None], verts, verts[0:1]).mean(axis=0)
+
+    def body(x, _):
+        g = x - p
+        dots = jnp.where(valid, verts @ (-g), -1e30)
+        s = verts[jnp.argmax(dots)]
+        dxs = x - s
+        gamma = jnp.clip(
+            jnp.dot(g, dxs) / jnp.maximum(jnp.dot(dxs, dxs), 1e-12), 0.0, 1.0
+        )
+        return x - gamma * dxs, None
+
+    x, _ = jax.lax.scan(body, x, None, length=iters)
+    return x
 
 
 def patch_convex(prm, d, pool):
@@ -763,6 +788,8 @@ def patch_convex(prm, d, pool):
     nf = vec.normalize_or(nf, dn)
     nf = nf * jnp.sign(vec.dot(nf, dn) + 1e-12)
     nf = jnp.where(k >= 3, nf, dn)
+    # Round hulls: lift the inner-hull patch to the rounded surface.
+    pts = pts + prm[6] * nf[None, :]
     return pts, nf, k
 
 

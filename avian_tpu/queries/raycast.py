@@ -228,9 +228,12 @@ def _ray_cone(o, d, params, solid):
 
 def _ray_convex(o, d, params, solid, pool):
     """Sphere tracing against the hull's support map: the point-to-hull
-    distance (Frank-Wolfe) is a safe marching bound along any ray."""
+    distance (Frank-Wolfe) is a safe marching bound along any ray.
+    ``params[6]`` is the round radius (round_cuboid etc.): the traced
+    surface is the inner hull inflated by it."""
     from avian_tpu.geometry.convex import MAX_HULL_VERTS
 
+    rr = params[6]
     off = params[0].astype(jnp.int32)
     cnt = params[1].astype(jnp.int32)
     verts = jax.lax.dynamic_slice(pool, (off, 0), (MAX_HULL_VERTS, 3))
@@ -264,7 +267,7 @@ def _ray_convex(o, d, params, solid, pool):
         u = vec.normalize_or(p - x, -d)
         # Support-plane LOWER bound of the distance (FW gives an upper
         # bound — marching with it would overshoot into the hull).
-        lb = jnp.dot(u, p) - sigma(u)
+        lb = jnp.dot(u, p) - sigma(u) - rr
         hit = lb < 1e-4
         t_new = jnp.where(done | hit, t, t + jnp.maximum(lb, 1e-5))
         n_last = jnp.where(done, n_last, u)
@@ -297,7 +300,7 @@ def _ray_convex(o, d, params, solid, pool):
     # One exact refinement: intersect the ray with the support plane of
     # the fitted face normal.
     dn = jnp.dot(d, n)
-    t_ref = (sigma(n) - jnp.dot(n, o)) / jnp.where(
+    t_ref = (sigma(n) + rr - jnp.dot(n, o)) / jnp.where(
         jnp.abs(dn) > 1e-9, dn, 1e-9
     )
     t = jnp.where(
@@ -306,7 +309,7 @@ def _ray_convex(o, d, params, solid, pool):
         t,
     )
     t = jnp.where(hit, t, _BIG)
-    inside = vec.length(closest(o) - o) < 1e-6
+    inside = vec.length(closest(o) - o) < rr + 1e-6
     t = jnp.where(inside & solid, 0.0, t)
     n = jnp.where(inside & solid, -d, n)
     return t, n
