@@ -32,13 +32,19 @@ def main():
     w = b.finalize(max_bodies=4, max_colliders=4, max_contacts=32)
 
     cfg = PhysicsConfig(max_colors=4)
-    run = jax.jit(lambda w: rollout_2d(w, cfg, 10))
-    for _ in range(18):
-        lv = w.bodies.lin_vel.at[hero].set(
-            jax.numpy.asarray([2.0, float(w.bodies.lin_vel[hero][1])])
-        )
-        w = w.replace(bodies=w.bodies.replace(lin_vel=lv))
-        w = run(w)
+
+    # Drive the horizontal velocity EVERY tick (the reference applies its
+    # movement input each fixed update), keeping the solver-owned vy.
+    from avian_tpu.dim2.step import physics_step_2d
+
+    def drive(wc, _):
+        lv = wc.bodies.lin_vel.at[hero, 0].set(2.0)
+        wc = wc.replace(bodies=wc.bodies.replace(lin_vel=lv))
+        return physics_step_2d(wc, cfg), None
+
+    w = jax.jit(
+        lambda wc: jax.lax.scan(drive, wc, None, length=180)[0]
+    )(w)
 
     p = np.asarray(w.bodies.pos[hero])
     ang = float(w.bodies.angle[hero])

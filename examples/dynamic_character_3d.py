@@ -12,9 +12,7 @@ import jax
 import numpy as np
 
 from avian_tpu import BodyType, PhysicsConfig, SceneBuilder
-from avian_tpu.api.control import set_velocity
 from avian_tpu.core import types as t
-from avian_tpu.pipeline.step import rollout
 
 
 def main():
@@ -34,11 +32,20 @@ def main():
     world = b.finalize(max_bodies=4, max_colliders=4, max_contacts=32)
 
     cfg = PhysicsConfig(max_colors=4)
-    run = jax.jit(lambda w: rollout(w, cfg, 10))
-    for _ in range(18):  # 3 s at 60 Hz, re-steering every 10 frames
-        vy = float(world.bodies.lin_vel[hero][1])
-        world = set_velocity(world, hero, lin_vel=(2.0, vy, 0.0))
-        world = run(world)
+
+    # Drive the horizontal velocity EVERY tick (the reference applies its
+    # movement input each fixed update), keeping the solver-owned vy.
+    from avian_tpu.pipeline.step import physics_step
+
+    def drive(w, _):
+        lv = w.bodies.lin_vel.at[hero, 0].set(2.0)
+        lv = lv.at[hero, 2].set(0.0)
+        w = w.replace(bodies=w.bodies.replace(lin_vel=lv))
+        return physics_step(w, cfg), None
+
+    world = jax.jit(
+        lambda w: jax.lax.scan(drive, w, None, length=180)[0]
+    )(world)
 
     p = np.asarray(world.bodies.pos[hero])
     q = np.asarray(world.bodies.quat[hero])
