@@ -28,6 +28,7 @@ from avian_tpu.core.types import (
 from avian_tpu.core.state import Bodies, Colliders, Contacts, Joints, World
 from avian_tpu.core.builder import SceneBuilder
 from avian_tpu.core import constructor
+from avian_tpu.api.custom_shapes import CustomShape, CUSTOM_SHAPE_BASE
 from avian_tpu.pipeline.step import physics_step, rollout
 from avian_tpu import queries, api, parallel, character, scenes
 from avian_tpu.geometry import contact_query
@@ -50,6 +51,8 @@ __all__ = [
     "World",
     "SceneBuilder",
     "constructor",
+    "CustomShape",
+    "CUSTOM_SHAPE_BASE",
     "contact_query",
     "physics_step",
     "rollout",

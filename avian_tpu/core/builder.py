@@ -258,11 +258,16 @@ class SceneBuilder:
             ShapeType.SEGMENT,
             ShapeType.CONVEX,
         )
-        if ShapeType(int(shape)) not in supported:
+        from avian_tpu.api.custom_shapes import CUSTOM_SHAPE_BASE
+
+        if int(shape) < CUSTOM_SHAPE_BASE and (
+            ShapeType(int(shape)) not in supported
+        ):
             raise ValueError(
                 f"shape {ShapeType(int(shape)).name} has no narrowphase "
                 f"support yet; supported: "
-                f"{', '.join(s.name for s in supported)}"
+                f"{', '.join(s.name for s in supported)} "
+                f"(or a CustomShape via custom_collider)"
             )
         p = np.zeros(8, np.float32)
         pa = np.asarray(params, np.float32).reshape(-1)
@@ -549,6 +554,41 @@ class SceneBuilder:
              float(h[2])),
             local_pos=tuple(lp + centroid),
             _hull_cache=(pts - centroid, hull), **kw,
+        )
+
+    def custom_collider(
+        self, body, index, params=(), mass=None, inertia=None,
+        com=(0.0, 0.0, 0.0), **kw,
+    ):
+        """Attach a user-shape collider (see ``avian_tpu.CustomShape``).
+
+        ``index`` is the shape's position in the static ``custom_shapes``
+        tuple passed to ``physics_step``; the stored runtime code is
+        ``CUSTOM_SHAPE_BASE + index``. The engine cannot derive mass
+        properties from a support function, so ``mass`` and ``inertia``
+        (diag-3 or sym-6 about the shape's COM) are required — the
+        reference's ``custom_collider.rs`` likewise spawns an explicit
+        ``MassPropertiesBundle`` next to its custom collider.
+        """
+        from avian_tpu.api.custom_shapes import CUSTOM_SHAPE_BASE
+
+        if mass is None or inertia is None:
+            raise ValueError(
+                "custom_collider requires explicit mass= and inertia= "
+                "(the engine cannot integrate a support function)"
+            )
+        i = np.asarray(inertia, np.float32).reshape(-1)
+        if i.shape[0] == 3:
+            i6 = np.concatenate([i, np.zeros(3, np.float32)])
+        elif i.shape[0] == 6:
+            i6 = i
+        else:
+            raise ValueError("inertia must be diag-3 or sym-6")
+        kw["_mass_cache"] = (
+            np.float32(mass), i6, np.asarray(com, np.float32)
+        )
+        return self.add_collider(
+            body, CUSTOM_SHAPE_BASE + int(index), params, **kw
         )
 
     # ------------------------------------------------------------------

@@ -404,15 +404,68 @@ for _i, (_ta, _tb, _) in enumerate(_CANONICAL):
 # (indexed with tracers inside compute_manifold via jnp.asarray there)
 
 
+def _custom_entries(custom_shapes):
+    """Dispatch entries for user :class:`CustomShape`s (codes
+    ``CUSTOM_SHAPE_BASE + i``) — the counterpart of the reference's
+    ``NarrowPhasePlugin<CustomCollider>`` registration
+    (``src/collision/narrow_phase/mod.rs:62``, ``custom_collider.rs``).
+    Every custom shape is a support function, so all its pairs route
+    through the generic support-map pipeline."""
+    from avian_tpu.api.custom_shapes import CUSTOM_SHAPE_BASE
+
+    entries = []
+    for i, cs in enumerate(custom_shapes):
+        code = CUSTOM_SHAPE_BASE + i
+        sup, pat = cs.support, cs.patch_fn()
+        for bt, (sb, fb) in _SHAPE_SUPPORT.items():
+            entries.append(
+                (int(bt), code, _cx.generic_convex_pair(sb, fb, sup, pat))
+            )
+        entries.append(
+            (
+                int(ShapeType.PLANE),
+                code,
+                _swapped(_cx.support_patch_plane_pair(sup, pat)),
+            )
+        )
+        entries.append(
+            (
+                int(ShapeType.CONVEX),
+                code,
+                _cx.generic_convex_pair_aux(
+                    _cx.support_convex,
+                    _cx.patch_convex,
+                    _cx._aux_wrap(sup),
+                    _cx._aux_wrap(pat),
+                ),
+            )
+        )
+        for j, cs2 in enumerate(custom_shapes[: i + 1]):
+            entries.append(
+                (
+                    CUSTOM_SHAPE_BASE + j,
+                    code,
+                    _cx.generic_convex_pair(
+                        cs2.support, cs2.patch_fn(), sup, pat
+                    ),
+                )
+            )
+    return entries
+
+
 def compute_manifold(
     type_a, pa, qa, prm_a, type_b, pb, qb, prm_b, shape_pairs=None,
-    convex_verts=None,
+    convex_verts=None, custom_shapes=(),
 ) -> Manifold:
     """Shape-pair dispatch for one pair (vmap over the pair buffer).
 
     ``shape_pairs``: optional static tuple of canonical (ta, tb) pairs the
     scene can produce — only those branches are lowered (see
     ``PhysicsConfig.shape_pairs``).
+
+    ``custom_shapes``: static tuple of user :class:`CustomShape`s; shape
+    code ``CUSTOM_SHAPE_BASE + index`` dispatches to its support/patch
+    functions via the generic support-map pair pipeline.
     """
     swap = type_a > type_b
     ta = jnp.where(swap, type_b, type_a)
@@ -421,19 +474,29 @@ def compute_manifold(
     qa_, qb_ = jnp.where(swap, qb, qa), jnp.where(swap, qa, qb)
     prm_a_, prm_b_ = jnp.where(swap, prm_b, prm_a), jnp.where(swap, prm_a, prm_b)
 
-    if shape_pairs is None:
+    if custom_shapes:
+        from avian_tpu.api.custom_shapes import CUSTOM_SHAPE_BASE
+
+        num_types = CUSTOM_SHAPE_BASE + len(custom_shapes)
+        table = _CANONICAL + _custom_entries(custom_shapes)
+    else:
+        num_types = _NUM_DISPATCH_TYPES
+        table = _CANONICAL
+
+    if shape_pairs is None and not custom_shapes:
         entries = _CANONICAL
         lut = jnp.asarray(_LUT)  # inside-trace: folds to an HLO literal
     else:
-        allowed = {(int(a), int(b)) for (a, b) in shape_pairs}
-        entries = [
-            (a, b, fn) for (a, b, fn) in _CANONICAL if (int(a), int(b)) in allowed
-        ]
-        lut = _np.full(
-            _NUM_DISPATCH_TYPES * _NUM_DISPATCH_TYPES, len(entries), _np.int32
-        )
+        if shape_pairs is None:
+            entries = table
+        else:
+            allowed = {(int(a), int(b)) for (a, b) in shape_pairs}
+            entries = [
+                (a, b, fn) for (a, b, fn) in table if (int(a), int(b)) in allowed
+            ]
+        lut = _np.full(num_types * num_types, len(entries), _np.int32)
         for i, (a, b, _) in enumerate(entries):
-            lut[int(a) * _NUM_DISPATCH_TYPES + int(b)] = i
+            lut[int(a) * num_types + int(b)] = i
         lut = jnp.asarray(lut)
 
     # Pool for CONVEX branches, padded so the fixed-size vertex slice is
@@ -458,11 +521,7 @@ def compute_manifold(
         for (_, _, fn) in entries
     ] + [lambda args: _unsupported(*args)]
     code = lut[
-        jnp.clip(
-            ta * _NUM_DISPATCH_TYPES + tb,
-            0,
-            _NUM_DISPATCH_TYPES * _NUM_DISPATCH_TYPES - 1,
-        )
+        jnp.clip(ta * num_types + tb, 0, num_types * num_types - 1)
     ]
     m = jax.lax.switch(code, branches, (pa_, qa_, prm_a_, pb_, qb_, prm_b_))
     # Un-swap: flip the normal and exchange witness points.

@@ -21,8 +21,12 @@ _PI = 3.14159265358979
 BIG = 1.0e9
 
 
-def local_aabb_half_extents(shape_type, params):
-    """Conservative local-frame AABB half extents ``f32[..., 3]``."""
+def local_aabb_half_extents(shape_type, params, custom_shapes=()):
+    """Conservative local-frame AABB half extents ``f32[..., 3]``.
+
+    ``custom_shapes``: static tuple of user shapes (see
+    ``api/custom_shapes.py``); code ``CUSTOM_SHAPE_BASE + i`` uses shape
+    ``i``'s ``aabb_half_extents(params)``."""
     r = params[..., 0]
     half = jnp.stack([r, r, r], axis=-1)  # sphere default
 
@@ -37,26 +41,37 @@ def local_aabb_half_extents(shape_type, params):
     convex = params[..., 2:5]  # precomputed local AABB half extents
 
     st = shape_type[..., None]
-    return jnp.select(
-        [
-            st == ShapeType.SPHERE,
-            st == ShapeType.CAPSULE,
-            st == ShapeType.BOX,
-            st == ShapeType.PLANE,
-            st == ShapeType.CYLINDER,
-            st == ShapeType.CONE,
-            st == ShapeType.SEGMENT,
-            st == ShapeType.CONVEX,
-        ],
-        [half, capsule, box, plane, cyl, cyl, seg, convex],
-        default=half,
-    )
+    conds = [
+        st == ShapeType.SPHERE,
+        st == ShapeType.CAPSULE,
+        st == ShapeType.BOX,
+        st == ShapeType.PLANE,
+        st == ShapeType.CYLINDER,
+        st == ShapeType.CONE,
+        st == ShapeType.SEGMENT,
+        st == ShapeType.CONVEX,
+    ]
+    vals = [half, capsule, box, plane, cyl, cyl, seg, convex]
+    if custom_shapes:
+        from avian_tpu.api.custom_shapes import CUSTOM_SHAPE_BASE
+
+        import jax as _jax
+
+        flat = params.reshape((-1, params.shape[-1]))
+        for i, cs in enumerate(custom_shapes):
+            conds.append(st == CUSTOM_SHAPE_BASE + i)
+            vals.append(
+                _jax.vmap(cs.aabb_half_extents)(flat).reshape(
+                    params.shape[:-1] + (3,)
+                )
+            )
+    return jnp.select(conds, vals, default=half)
 
 
-def world_aabb(shape_type, params, pos, quat):
+def world_aabb(shape_type, params, pos, quat, custom_shapes=()):
     """World AABB via ``|R| @ h`` on the local box (exact for boxes,
     conservative for the rest; sphere handled exactly)."""
-    h = local_aabb_half_extents(shape_type, params)
+    h = local_aabb_half_extents(shape_type, params, custom_shapes)
     m = jnp.abs(quat_m.to_mat3(quat))
     world_h = vec.mv3(m, h)
     # Sphere AABB doesn't rotate.

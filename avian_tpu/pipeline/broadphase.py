@@ -86,13 +86,17 @@ def update_collider_poses(world: World):
     return pos, quat
 
 
-def update_aabbs(world: World, config: PhysicsConfig) -> World:
+def update_aabbs(
+    world: World, config: PhysicsConfig, custom_shapes=()
+) -> World:
     """Compute world AABBs, expanded for speculative contacts
     (reference ``update_aabb``, ``backend.rs:498``)."""
     col = world.colliders
     b = world.bodies
     pos, quat = update_collider_poses(world)
-    lo, hi = shapes.world_aabb(col.shape_type, col.params, pos, quat)
+    lo, hi = shapes.world_aabb(
+        col.shape_type, col.params, pos, quat, custom_shapes
+    )
 
     # Symmetric speculative expansion by clamped |v|*dt + margins.
     v = b.lin_vel[col.body_idx]

@@ -48,7 +48,8 @@ def _combine(val_a, val_b, rule_a, rule_b):
 
 
 def narrow_phase(
-    world: World, bp: BroadPhaseResult, config: PhysicsConfig
+    world: World, bp: BroadPhaseResult, config: PhysicsConfig,
+    custom_shapes=(),
 ) -> Contacts:
     """Build this step's Contacts buffer from broadphase pairs + old buffer."""
     old = world.contacts
@@ -71,7 +72,8 @@ def narrow_phase(
     )
     manifolds = jax.vmap(
         lambda *args: compute_manifold(
-            *args, shape_pairs=pairs, convex_verts=world.convex_verts
+            *args, shape_pairs=pairs, convex_verts=world.convex_verts,
+            custom_shapes=custom_shapes,
         )
     )(
         col.shape_type[ca], pos[ca], quat[ca], col.params[ca],

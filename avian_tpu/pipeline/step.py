@@ -31,7 +31,10 @@ from avian_tpu.pipeline import xpbd as xpbd_m
 
 @partial(
     jax.jit,
-    static_argnames=("config", "return_diagnostics", "hooks", "custom_joints"),
+    static_argnames=(
+        "config", "return_diagnostics", "hooks", "custom_joints",
+        "custom_shapes",
+    ),
 )
 def physics_step(
     world: World,
@@ -39,6 +42,7 @@ def physics_step(
     return_diagnostics: bool = False,
     hooks=None,
     custom_joints=None,
+    custom_shapes=(),
 ):
     """Advance the world by ``config.dt`` seconds.
 
@@ -64,11 +68,18 @@ def physics_step(
     shared velocity projection). See ``avian_tpu.api.custom`` for the
     correction helpers mirroring ``PositionConstraint``/
     ``AngularConstraint``.
+
+    ``custom_shapes`` is the user-collider extension point — the
+    counterpart of the reference's ``AnyCollider`` implementation plus
+    ``ColliderBackendPlugin``/``NarrowPhasePlugin`` registration
+    (``custom_collider.rs``): a static tuple of
+    :class:`avian_tpu.CustomShape` whose index matches the codes stored by
+    ``SceneBuilder.custom_collider``.
     """
     h = config.substep_dt
 
     # ---- collision detection -------------------------------------------
-    world = bp_m.update_aabbs(world, config)
+    world = bp_m.update_aabbs(world, config, custom_shapes)
     bp = bp_m.broad_phase(world, config)
     if hooks is not None and hasattr(hooks, "filter_pairs"):
         valid = hooks.filter_pairs(world, bp.collider_a, bp.collider_b, bp.valid)
@@ -80,7 +91,7 @@ def physics_step(
             num_pairs=jnp.sum(valid.astype(jnp.int32)),
             dropped=bp.dropped,
         )
-    contacts = np_m.narrow_phase(world, bp, config)
+    contacts = np_m.narrow_phase(world, bp, config, custom_shapes)
     if hooks is not None and hasattr(hooks, "modify_contacts"):
         contacts = hooks.modify_contacts(world, contacts)
 
