@@ -46,6 +46,13 @@ from avian_tpu.core.state import World
 from avian_tpu.geometry import shapes
 from avian_tpu.math import quat as quat_m
 
+# Largest collider capacity for which the packed i32 pair key
+# ``lo * M + hi`` is injective. Beyond it, pair matching in the
+# narrowphase switches to lexicographic (lo, hi) binary search and
+# ``pair_key`` degrades to a validity marker (no 64-bit ints: JAX x64 is
+# disabled, and i64 sorts are emulated 2x on TPU anyway).
+KEY_M_MAX = 46340
+
 MAX_GLOBALS = 16  # max colliders in the dense pass (planes, huge bodies)
 
 # The 8 cells an AABB spanning <= 2 cells per axis can overlap.
@@ -283,7 +290,13 @@ def broad_phase(world: World, config: PhysicsConfig) -> BroadPhaseResult:
     # (globals are excluded from the grid).
     lo = jnp.minimum(ca, cb)
     hi = jnp.maximum(ca, cb)
-    key = lo * m + hi
+    if m > KEY_M_MAX:
+        # ``lo * m + hi`` overflows i32: pair matching downstream uses
+        # lexicographic (collider_a, collider_b) search instead, and
+        # ``pair_key`` degrades to a validity marker (0 valid / -1 empty).
+        key = jnp.zeros_like(lo)
+    else:
+        key = lo * m + hi
 
     # Deterministic compaction: exclusive prefix sum over validity gives
     # each valid candidate its output slot (fixed traversal order).

@@ -22,7 +22,29 @@ from avian_tpu.core.config import PhysicsConfig
 from avian_tpu.core.state import Contacts, World, MAX_POINTS
 from avian_tpu.geometry.narrowphase import compute_manifold
 from avian_tpu.math import quat as quat_m
-from avian_tpu.pipeline.broadphase import BroadPhaseResult, update_collider_poses
+from avian_tpu.pipeline.broadphase import (
+    KEY_M_MAX,
+    BroadPhaseResult,
+    update_collider_poses,
+)
+
+
+def _lex_searchsorted(lo_s, hi_s, qlo, qhi):
+    """``searchsorted`` over rows sorted lexicographically by ``(lo, hi)``:
+    the first index whose row is >= the query pair. Vectorized binary
+    search (fixed ``ceil(log2 n) + 1`` rounds of gathers)."""
+    n = lo_s.shape[0]
+    left = jnp.zeros(qlo.shape, jnp.int32)
+    right = jnp.full(qlo.shape, n, jnp.int32)
+    steps = max(1, (max(n, 2) - 1).bit_length() + 1)
+    for _ in range(steps):
+        mid = (left + right) // 2
+        midc = jnp.clip(mid, 0, n - 1)
+        less = (lo_s[midc] < qlo) | ((lo_s[midc] == qlo) & (hi_s[midc] < qhi))
+        less = less & (mid < n)
+        left = jnp.where(less, mid + 1, left)
+        right = jnp.where(less, right, mid)
+    return left
 
 
 def _combine(val_a, val_b, rule_a, rule_b):
@@ -127,12 +149,33 @@ def narrow_phase(
 
     # ---- pair-level persistence (warm-start carry) ----------------------
     # Find each new pair's slot in the old buffer via sorted-key search.
-    old_order = jnp.argsort(old.pair_key)
-    old_keys_sorted = old.pair_key[old_order]
-    loc = jnp.searchsorted(old_keys_sorted, bp.pair_key)
-    loc = jnp.clip(loc, 0, c_cap - 1)
-    old_slot = old_order[loc]
-    matched = (old.pair_key[old_slot] == bp.pair_key) & (bp.pair_key >= 0)
+    # Beyond KEY_M_MAX colliders the packed i32 key is not injective, so
+    # the search goes lexicographic over canonical (lo, hi) collider ids.
+    if world.colliders.capacity > KEY_M_MAX:
+        sent = jnp.iinfo(jnp.int32).max
+        old_lo = jnp.minimum(old.collider_a, old.collider_b)
+        old_hi = jnp.maximum(old.collider_a, old.collider_b)
+        old_lo = jnp.where(old.active, old_lo, sent)
+        old_hi = jnp.where(old.active, old_hi, sent)
+        new_lo = jnp.minimum(ca, cb)
+        new_hi = jnp.maximum(ca, cb)
+        old_order = jnp.lexsort((old_hi, old_lo)).astype(jnp.int32)
+        loc = _lex_searchsorted(
+            old_lo[old_order], old_hi[old_order], new_lo, new_hi
+        )
+        old_slot = old_order[jnp.clip(loc, 0, c_cap - 1)]
+        matched = (
+            (old_lo[old_slot] == new_lo)
+            & (old_hi[old_slot] == new_hi)
+            & bp.valid
+        )
+    else:
+        old_order = jnp.argsort(old.pair_key)
+        old_keys_sorted = old.pair_key[old_order]
+        loc = jnp.searchsorted(old_keys_sorted, bp.pair_key)
+        loc = jnp.clip(loc, 0, c_cap - 1)
+        old_slot = old_order[loc]
+        matched = (old.pair_key[old_slot] == bp.pair_key) & (bp.pair_key >= 0)
 
     was_touching = jnp.where(matched, old.touching[old_slot], False)
     carried_color = jnp.where(matched, old.color[old_slot], -1)
@@ -207,11 +250,23 @@ def narrow_phase(
     # never fire their end event. Reverse-match old keys against the new
     # key set; the survivors' complement is this step's eviction list.
     big = jnp.iinfo(jnp.int32).max
-    new_keys_sorted = jnp.sort(jnp.where(bp.valid, bp.pair_key, big))
-    loc_e = jnp.clip(
-        jnp.searchsorted(new_keys_sorted, old.pair_key), 0, c_cap - 1
-    )
-    still_tracked = new_keys_sorted[loc_e] == old.pair_key
+    if world.colliders.capacity > KEY_M_MAX:
+        nlo = jnp.where(bp.valid, jnp.minimum(ca, cb), big)
+        nhi = jnp.where(bp.valid, jnp.maximum(ca, cb), big)
+        order_n = jnp.lexsort((nhi, nlo)).astype(jnp.int32)
+        nlo_s, nhi_s = nlo[order_n], nhi[order_n]
+        olo = jnp.minimum(old.collider_a, old.collider_b)
+        ohi = jnp.maximum(old.collider_a, old.collider_b)
+        loc_e = jnp.clip(
+            _lex_searchsorted(nlo_s, nhi_s, olo, ohi), 0, c_cap - 1
+        )
+        still_tracked = (nlo_s[loc_e] == olo) & (nhi_s[loc_e] == ohi)
+    else:
+        new_keys_sorted = jnp.sort(jnp.where(bp.valid, bp.pair_key, big))
+        loc_e = jnp.clip(
+            jnp.searchsorted(new_keys_sorted, old.pair_key), 0, c_cap - 1
+        )
+        still_tracked = new_keys_sorted[loc_e] == old.pair_key
     evicted = old.active & old.touching & ~still_tracked
     evicted_contact_id = jnp.where(evicted, old.contact_id, 0)
     evicted_body_a = jnp.where(evicted, old.body_a, 0)
