@@ -6,7 +6,7 @@ import pytest
 
 from example_runner import run_example
 
-EXAMPLES = ['batched_rollout', 'bouncing_ball', 'cast_ray_predicate', 'ccd', 'chain_3d', 'character_walk', 'collision_layers', 'compound_colliders', 'conveyor_belt', 'cubes', 'custom_broad_phase']
+EXAMPLES = ['batched_rollout', 'bouncing_ball', 'cast_ray_predicate', 'ccd', 'chain_3d', 'character_walk', 'collider_constructors', 'collision_layers', 'compound_colliders', 'conveyor_belt', 'cubes', 'custom_broad_phase', 'debugdump_2d']
 
 
 @pytest.mark.parametrize("name", EXAMPLES)

@@ -6,7 +6,7 @@ import pytest
 
 from example_runner import run_example
 
-EXAMPLES = ['custom_constraint', 'determinism_2d', 'diagnostics_demo', 'distance_joint_3d', 'dominance', 'fixed_joint_3d', 'gyroscopic_motion', 'interpolation_demo', 'joints_tour', 'kinematic_platform', 'many_shapes']
+EXAMPLES = ['custom_constraint', 'debugdump_3d', 'determinism_2d', 'diagnostics_demo', 'distance_joint_3d', 'dominance', 'fixed_joint_3d', 'gyroscopic_motion', 'interpolation_demo', 'joints_tour', 'kinematic_character_3d', 'kinematic_platform', 'many_shapes']
 
 
 @pytest.mark.parametrize("name", EXAMPLES)

@@ -6,7 +6,7 @@ import pytest
 
 from example_runner import run_example
 
-EXAMPLES = ['move_marbles', 'one_way_platform', 'picking_demo', 'prismatic_joint_3d', 'pyramid_2d', 'ray_sensors', 'revolute_joint_3d', 'sensor', 'trimesh_shapes_3d', 'tumbler', 'voxels_3d']
+EXAMPLES = ['move_and_slide_2d', 'move_and_slide_3d', 'move_marbles', 'one_way_platform', 'picking_demo', 'prismatic_joint_3d', 'pyramid_2d', 'ray_caster', 'ray_sensors', 'revolute_joint_3d', 'sensor', 'trimesh_shapes_3d', 'tumbler', 'voxels_3d']
 
 
 @pytest.mark.parametrize("name", EXAMPLES)
