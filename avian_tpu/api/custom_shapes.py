@@ -26,22 +26,25 @@ operating on the 7-lane ``params`` row the builder stores:
   Omitted ⇒ a single support point (correct for smooth shapes like
   ellipsoids; flat-faced shapes should provide one for stable stacking).
 
-Registration is one static argument: ``physics_step(world, config,
-custom_shapes=(my_shape,))``. The shape's runtime type code is
-``CUSTOM_SHAPE_BASE + index`` into that tuple, which is also what
-``SceneBuilder.custom_collider`` stores. Spawn with::
+Registration: pass the shape instance to
+``SceneBuilder.custom_collider(body, shape=my_shape, ...)`` — ``finalize``
+stores the tuple as ``World.custom_shapes`` static metadata (like
+``shape_pairs``) and ``physics_step`` + every spatial query pick it up
+automatically. The shape's runtime type code is ``CUSTOM_SHAPE_BASE +
+index`` into that tuple. An explicit ``physics_step(world, config,
+custom_shapes=(...,))`` argument overrides the world's tuple (pair it
+with ``custom_collider(body, index=i, ...)``)::
 
     shape = CustomShape("ellipsoid", support=..., aabb_half_extents=...)
-    b.custom_collider(body, index=0, params=(a, b_, c), mass=m,
+    b.custom_collider(body, shape=shape, params=(a, b_, c), mass=m,
                       inertia=(ix, iy, iz))
-    ...
-    world = physics_step(world, config, custom_shapes=(shape,))
+    world = b.finalize(...)
+    world = physics_step(world, config)   # shape travels with the world
 
-Scope (mirrors the reference example, which implements collision
-detection only): contacts, solver, sleeping, islands, events and hooks
-all work; spatial queries and swept CCD do not see custom shapes
-(speculative CCD — the default — does, since it lives in the
-narrowphase).
+Scope: contacts, solver, sleeping, islands, events, hooks, speculative
+CCD, and spatial queries (cast_ray / ray_hits / grid raycasts /
+project_point / point_intersections / cast_shape / shape_intersections)
+all see custom shapes. Swept (opt-in) CCD does not.
 
 NOTE: ``CustomShape`` hashes by identity (it is a jit static argument) —
 build it once and reuse the same instance every step, or every call

@@ -165,6 +165,7 @@ class SceneBuilder:
         # over a 100k-face trimesh build (the round-2 "minutes of host
         # build" — VERDICT weak #6).
         self._convex_verts_len = 0
+        self._custom_shapes = []  # CustomShape instances, index = code base
         self.gravity = (0.0, -9.81, 0.0)
 
     # ------------------------------------------------------------------
@@ -564,13 +565,16 @@ class SceneBuilder:
         )
 
     def custom_collider(
-        self, body, index, params=(), mass=None, inertia=None,
-        com=(0.0, 0.0, 0.0), **kw,
+        self, body, shape=None, params=(), mass=None, inertia=None,
+        com=(0.0, 0.0, 0.0), index=None, **kw,
     ):
         """Attach a user-shape collider (see ``avian_tpu.CustomShape``).
 
-        ``index`` is the shape's position in the static ``custom_shapes``
-        tuple passed to ``physics_step``; the stored runtime code is
+        Pass the ``CustomShape`` instance as ``shape`` (registered by
+        identity; ``finalize`` stores the tuple on ``World.custom_shapes``
+        so ``physics_step`` and queries pick it up automatically), or a
+        raw ``index`` into a ``custom_shapes=`` tuple you pass to
+        ``physics_step`` yourself. The stored runtime code is
         ``CUSTOM_SHAPE_BASE + index``. The engine cannot derive mass
         properties from a support function, so ``mass`` and ``inertia``
         (diag-3 or sym-6 about the shape's COM) are required — the
@@ -579,6 +583,18 @@ class SceneBuilder:
         """
         from avian_tpu.api.custom_shapes import CUSTOM_SHAPE_BASE
 
+        if (shape is None) == (index is None):
+            raise ValueError(
+                "pass exactly one of shape= (a CustomShape) or index="
+            )
+        if shape is not None:
+            for i, s in enumerate(self._custom_shapes):
+                if s is shape:
+                    index = i
+                    break
+            else:
+                self._custom_shapes.append(shape)
+                index = len(self._custom_shapes) - 1
         if mass is None or inertia is None:
             raise ValueError(
                 "custom_collider requires explicit mass= and inertia= "
@@ -884,6 +900,7 @@ class SceneBuilder:
             convex_verts=jnp.asarray(pool),
             # Static metadata: only these narrowphase branches get lowered.
             shape_pairs=self.shape_pairs(),
+            custom_shapes=tuple(self._custom_shapes),
         )
 
 

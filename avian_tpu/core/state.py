@@ -420,6 +420,11 @@ class World:
     # [offset, offset + MAX_HULL_VERTS) slice is in bounds.
     convex_verts: jnp.ndarray = None  # f32[V, 3]
     shape_pairs: tuple | None = None
+    # Static tuple of user CustomShapes (api/custom_shapes.py); collider
+    # code CUSTOM_SHAPE_BASE + i dispatches to entry i. Part of the pytree
+    # STRUCTURE (identity-hashed), like shape_pairs. Not serialized by
+    # checkpoints — re-attach after restore (functions don't pickle).
+    custom_shapes: tuple = ()
 
     def replace(self, **kw):
         return replace(self, **kw)
@@ -451,5 +456,5 @@ jax.tree_util.register_dataclass(
         "bodies", "colliders", "contacts", "joints", "gravity", "time",
         "diverged", "convex_verts",
     ],
-    meta_fields=["shape_pairs"],
+    meta_fields=["shape_pairs", "custom_shapes"],
 )

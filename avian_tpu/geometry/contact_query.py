@@ -17,13 +17,14 @@ from avian_tpu.math import vec
 
 def contact_manifolds(
     type_a, pos_a, quat_a, params_a, type_b, pos_b, quat_b, params_b,
-    shape_pairs=None, convex_verts=None,
+    shape_pairs=None, convex_verts=None, custom_shapes=(),
 ):
     """The full manifold (up to 4 points) between two shapes — the same
     kernel the narrowphase uses."""
     return compute_manifold(
         type_a, pos_a, quat_a, params_a, type_b, pos_b, quat_b, params_b,
         shape_pairs=shape_pairs, convex_verts=convex_verts,
+        custom_shapes=custom_shapes,
     )
 
 

@@ -100,6 +100,7 @@ def update_aabbs(
     (reference ``update_aabb``, ``backend.rs:498``)."""
     col = world.colliders
     b = world.bodies
+    custom_shapes = custom_shapes if custom_shapes else world.custom_shapes
     pos, quat = update_collider_poses(world)
     lo, hi = shapes.world_aabb(
         col.shape_type, col.params, pos, quat, custom_shapes

@@ -78,6 +78,7 @@ def narrow_phase(
     col = world.colliders
     b = world.bodies
     c_cap = old.capacity
+    custom_shapes = custom_shapes if custom_shapes else world.custom_shapes
 
     ca, cb = bp.collider_a, bp.collider_b
     ba = col.body_idx[ca]

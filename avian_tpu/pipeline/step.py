@@ -77,6 +77,9 @@ def physics_step(
     ``SceneBuilder.custom_collider``.
     """
     h = config.substep_dt
+    # Scenes built via SceneBuilder.custom_collider(shape=...) carry their
+    # CustomShapes as World static metadata; an explicit argument wins.
+    custom_shapes = custom_shapes if custom_shapes else world.custom_shapes
 
     # ---- collision detection -------------------------------------------
     world = bp_m.update_aabbs(world, config, custom_shapes)

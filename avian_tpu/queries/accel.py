@@ -146,6 +146,7 @@ def cast_ray_grid(
         t, n_w = _ray_one_collider(
             o, d, pos[ci], quat[ci], col.shape_type[ci], col.params[ci],
             solid, pool=world.convex_verts,
+            custom_shapes=world.custom_shapes,
         )
         t = jnp.where(valid & ok[ci] & (t <= max_distance) & (t >= 0.0), t, _BIG)
         return t, n_w

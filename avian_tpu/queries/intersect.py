@@ -43,7 +43,11 @@ def shape_intersections(
     sq = jnp.asarray(shape_quat, jnp.float32)
 
     def one(ct, cp, cq, cprm):
-        m = compute_manifold(st, sp, sq, prm, ct, cp, cq, cprm, shape_pairs=pairs)
+        m = compute_manifold(
+            st, sp, sq, prm, ct, cp, cq, cprm, shape_pairs=pairs,
+            convex_verts=world.convex_verts,
+            custom_shapes=world.custom_shapes,
+        )
         overlapping = (m.count > 0) & (jnp.min(m.separation) < 0.0)
         return overlapping
 

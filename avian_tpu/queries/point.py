@@ -14,7 +14,7 @@ from avian_tpu.queries.filter import QueryFilter, collider_query_mask
 _BIG = 1e30
 
 
-def _closest_local(p, shape_type, params, pool=None):
+def _closest_local(p, shape_type, params, pool=None, custom_shapes=()):
     """(closest point, signed distance) in the collider's local frame.
 
     Covers every collider shape. CONVEX (incl. round hulls) uses the
@@ -123,22 +123,44 @@ def _closest_local(p, shape_type, params, pool=None):
         c_cvx = p
 
     st = shape_type
-    d = jnp.select(
-        [st == ShapeType.SPHERE, st == ShapeType.BOX,
-         st == ShapeType.CAPSULE, st == ShapeType.PLANE,
-         st == ShapeType.CYLINDER, st == ShapeType.CONE,
-         st == ShapeType.SEGMENT, st == ShapeType.CONVEX],
-        [d_sph, d_box, d_cap, d_pl, d_cyl, d_cone, d_seg, d_cvx],
-        default=jnp.asarray(_BIG),
-    )
-    c = jnp.select(
-        [(st == ShapeType.SPHERE), (st == ShapeType.BOX),
-         (st == ShapeType.CAPSULE), (st == ShapeType.PLANE),
-         (st == ShapeType.CYLINDER), (st == ShapeType.CONE),
-         (st == ShapeType.SEGMENT), (st == ShapeType.CONVEX)],
-        [c_sph, c_box, c_cap, c_pl, c_cyl, c_cone, q_seg, c_cvx],
-        default=p,
-    )
+    conds = [
+        st == ShapeType.SPHERE, st == ShapeType.BOX,
+        st == ShapeType.CAPSULE, st == ShapeType.PLANE,
+        st == ShapeType.CYLINDER, st == ShapeType.CONE,
+        st == ShapeType.SEGMENT, st == ShapeType.CONVEX,
+    ]
+    d_vals = [d_sph, d_box, d_cap, d_pl, d_cyl, d_cone, d_seg, d_cvx]
+    c_vals = [c_sph, c_box, c_cap, c_pl, c_cyl, c_cone, q_seg, c_cvx]
+
+    # User CustomShapes: Frank-Wolfe closest point on the support map;
+    # inside -> subgradient minimum-overlap depth (both from
+    # geometry/convex.py, the same oracles the narrowphase uses).
+    if custom_shapes:
+        from avian_tpu.api.custom_shapes import CUSTOM_SHAPE_BASE
+        from avian_tpu.geometry import convex as _cx
+
+        for i, cs in enumerate(custom_shapes):
+            sup = cs.support
+
+            def sk(u, sup=sup):
+                return sup(params, u) - p
+
+            x = _cx._fw_distance(
+                sk, sup(params, jnp.asarray([1.0, 0.0, 0.0])) - p
+            )
+            dist = vec.length(x)
+            u_pen, depth = _cx._depth_direction(
+                sk, vec.normalize_or(-x, jnp.asarray([0.0, 1.0, 0.0]))
+            )
+            inside_c = dist < 1e-5
+            conds.append(st == CUSTOM_SHAPE_BASE + i)
+            d_vals.append(jnp.where(inside_c, -depth, dist))
+            c_vals.append(
+                jnp.where(inside_c, p + u_pen * depth, p + x)
+            )
+
+    d = jnp.select(conds, d_vals, default=jnp.asarray(_BIG))
+    c = jnp.select(conds, c_vals, default=p)
     return c, d
 
 
@@ -155,7 +177,7 @@ def project_point(world, point, solid=True, qfilter: QueryFilter = None):
 
     def one(p, q, st, prm):
         pl = quat_m.rotate_inv(q, point - p)
-        c, d = _closest_local(pl, st, prm, pool)
+        c, d = _closest_local(pl, st, prm, pool, world.custom_shapes)
         return p + quat_m.rotate(q, c), d
 
     cpts, dists = jax.vmap(one)(pos, quat, col.shape_type, col.params)
@@ -185,12 +207,18 @@ def point_intersections(world, point, max_hits: int = 8, qfilter: QueryFilter = 
 
     def one(p, q, st, prm):
         pl = quat_m.rotate_inv(q, point - p)
-        _, d = _closest_local(pl, st, prm, pool)
+        _, d = _closest_local(pl, st, prm, pool, world.custom_shapes)
         return d
 
     dists = jax.vmap(one)(pos, quat, col.shape_type, col.params)
     contains = ok & (dists <= 0.0)
     score = jnp.where(contains, 1.0, 0.0)
-    _, idx = jax.lax.top_k(score, max_hits)
+    k = min(max_hits, score.shape[0])  # worlds smaller than max_hits
+    _, idx = jax.lax.top_k(score, k)
     found = contains[idx]
-    return jnp.where(found, idx, -1).astype(jnp.int32)
+    out = jnp.where(found, idx, -1).astype(jnp.int32)
+    if k < max_hits:
+        out = jnp.concatenate(
+            [out, jnp.full((max_hits - k,), -1, jnp.int32)]
+        )
+    return out

@@ -10,6 +10,8 @@ normal = -dir).
 
 from dataclasses import dataclass, fields
 
+import numpy as _np
+
 import jax
 import jax.numpy as jnp
 
@@ -319,8 +321,56 @@ def _ray_miss(o, d, params, solid):
     return jnp.asarray(_BIG), -d
 
 
+def _ray_support(o, d, params, solid, support):
+    """Ray vs an arbitrary support-mapped shape (user ``CustomShape``):
+    sphere tracing with the support-plane LOWER bound, like
+    ``_ray_convex`` but with the support function as the only oracle.
+    The closest point comes from Frank-Wolfe with ``support(-grad)`` as
+    the linear-minimization step; the hit normal is the final
+    closest-point direction (exact at convergence for smooth shapes)."""
+
+    def closest(p):
+        x = support(params, d)
+
+        def body(x, _):
+            g = x - p
+            sball = support(params, -g)
+            dxs = x - sball
+            gamma = jnp.clip(
+                jnp.dot(g, dxs) / jnp.maximum(jnp.dot(dxs, dxs), 1e-12),
+                0.0, 1.0,
+            )
+            return x - gamma * dxs, None
+
+        x, _ = jax.lax.scan(body, x, None, length=12)
+        return x
+
+    def march(carry, _):
+        t, done, n_last = carry
+        p = o + d * t
+        x = closest(p)
+        u = vec.normalize_or(p - x, -d)
+        lb = jnp.dot(u, p) - jnp.dot(support(params, u), u)
+        hit = lb < 1e-4
+        t_new = jnp.where(done | hit, t, t + jnp.maximum(lb, 1e-5))
+        n_last = jnp.where(done, n_last, u)
+        return (jnp.minimum(t_new, 1e6), done | hit, n_last), None
+
+    (t, hit, n), _ = jax.lax.scan(
+        march,
+        (jnp.asarray(0.0), jnp.asarray(False), -d),
+        None,
+        length=24,
+    )
+    t = jnp.where(hit, t, _BIG)
+    inside = vec.length(closest(o) - o) < 1e-6
+    t = jnp.where(inside & solid, 0.0, t)
+    n = jnp.where(inside & solid, -d, n)
+    return t, n
+
+
 def _ray_one_collider(o_w, d_w, pos, quat, shape_type, params, solid,
-                      pool=None):
+                      pool=None, custom_shapes=()):
     """Ray vs one collider (world in, local test, world out)."""
     o = quat_m.rotate_inv(quat, o_w - pos)
     d = quat_m.rotate_inv(quat, d_w)
@@ -347,7 +397,23 @@ def _ray_one_collider(o_w, d_w, pos, quat, shape_type, params, solid,
         (lambda a: _ray_convex(*a, pool)) if has_convex
         else (lambda a: _ray_miss(*a)),
     ]
-    code = jnp.clip(shape_type, 0, 8)
+    if custom_shapes:
+        from avian_tpu.api.custom_shapes import CUSTOM_SHAPE_BASE
+
+        for cs in custom_shapes:
+            branches.append(
+                lambda a, s=cs.support: _ray_support(*a, s)
+            )
+        # Map runtime codes to branch indices: built-ins identity,
+        # CUSTOM_SHAPE_BASE + i -> 9 + i, gaps -> the segment miss branch.
+        lut = _np.full(CUSTOM_SHAPE_BASE + len(custom_shapes), 6, _np.int32)
+        lut[:9] = _np.arange(9)
+        lut[CUSTOM_SHAPE_BASE:] = 9 + _np.arange(len(custom_shapes))
+        code = jnp.asarray(lut)[
+            jnp.clip(shape_type, 0, lut.shape[0] - 1)
+        ]
+    else:
+        code = jnp.clip(shape_type, 0, 8)
     t, n_local = jax.lax.switch(code, branches, (o, d, params, solid))
     return t, quat_m.rotate(quat, n_local)
 
@@ -360,6 +426,7 @@ def _all_hits(world, origin, direction, solid, qfilter):
         lambda p, q, st, prm: _ray_one_collider(
             origin, direction, p, q, st, prm, solid,
             pool=world.convex_verts,
+            custom_shapes=world.custom_shapes,
         )
     )(pos, quat, col.shape_type, col.params)
     t = jnp.where(ok, t, _BIG)

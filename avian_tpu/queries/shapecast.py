@@ -92,7 +92,11 @@ def _sweep_all(
     def advance_one(ct, cp, cq, cprm):
         def body(_, state):
             t, done = state
-            m = compute_manifold(st, o + d * t, rot, prm, ct, cp, cq, cprm, shape_pairs=pairs)
+            m = compute_manifold(
+                st, o + d * t, rot, prm, ct, cp, cq, cprm,
+                shape_pairs=pairs, convex_verts=world.convex_verts,
+                custom_shapes=world.custom_shapes,
+            )
             sep = jnp.min(m.separation)
             n = m.normal  # from cast shape toward collider
             approach = jnp.dot(d, n)  # >0 when moving toward the collider
@@ -104,7 +108,11 @@ def _sweep_all(
             return jnp.minimum(new_t, max_distance + 1.0), done | hit_now
 
         t, hit = jax.lax.fori_loop(0, _ITERS, body, (jnp.asarray(0.0), jnp.asarray(False)))
-        m = compute_manifold(st, o + d * t, rot, prm, ct, cp, cq, cprm, shape_pairs=pairs)
+        m = compute_manifold(
+                st, o + d * t, rot, prm, ct, cp, cq, cprm,
+                shape_pairs=pairs, convex_verts=world.convex_verts,
+                custom_shapes=world.custom_shapes,
+            )
         sep = jnp.min(m.separation)
         pi = jnp.argmin(m.separation)
         hit = hit & (t <= max_distance)

@@ -29,6 +29,10 @@ def _flatten_with_paths(world: World):
             leaves["shape_pairs"] = np.asarray(
                 [] if obj is None else [list(p) for p in obj], np.int32
             ).reshape(-1, 2)
+        elif prefix == "custom_shapes.":
+            # User support FUNCTIONS don't serialize; re-attach after
+            # restore: world.replace(custom_shapes=(...,)).
+            pass
         else:
             leaves[prefix[:-1]] = np.asarray(obj)
 
@@ -64,6 +68,8 @@ def load(path: str) -> World:
                     if arr is not None and arr.size
                     else None
                 )
+            elif f.name == "custom_shapes":
+                kw[f.name] = ()  # not serializable; re-attach after restore
             elif f.name == "diverged" and key not in data.files:
                 kw[f.name] = jax.numpy.zeros((), bool)  # older checkpoints
             elif f.name == "convex_verts" and key not in data.files:

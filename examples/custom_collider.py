@@ -72,15 +72,18 @@ def main():
                      1.2 * gz - 1.2)
             )
             b.custom_collider(
-                body, index=0, params=(a_, b_, c_), mass=m, inertia=i
+                body, shape=ELLIPSOID, params=(a_, b_, c_), mass=m,
+                inertia=i,
             )
             ids.append(body)
 
+    # finalize() stores the CustomShape tuple on World.custom_shapes, so
+    # physics_step and the spatial queries pick it up with no extra args.
     w = b.finalize(max_bodies=16, max_colliders=16, max_contacts=256)
     cfg = PhysicsConfig(max_colors=8)
 
     def one(w, _):
-        return physics_step(w, cfg, custom_shapes=(ELLIPSOID,)), None
+        return physics_step(w, cfg), None
 
     w = jax.jit(lambda w: jax.lax.scan(one, w, None, length=300)[0])(w)
 
@@ -90,6 +93,17 @@ def main():
     # none fell through.
     assert (pos[:, 1] > 0.15).all(), pos[:, 1]
     assert (pos[:, 1] < 0.8).all(), pos[:, 1]
+
+    # Spatial queries see custom shapes too: a downward ray over the first
+    # ellipsoid hits its top surface.
+    from avian_tpu.queries import cast_ray
+    from avian_tpu.pipeline.broadphase import update_aabbs
+
+    w = update_aabbs(w, cfg)
+    target = pos[0]
+    hit = cast_ray(w, (target[0], 3.0, target[2]), (0.0, -1.0, 0.0))
+    assert bool(hit.hit), "ray missed the ellipsoid"
+    assert abs(float(hit.point[1]) - 2.0 * b_) < 0.06, hit.point
     print(
         f"custom_collider: 9 ellipsoids settled, "
         f"rest heights {pos[:, 1].min():.3f}..{pos[:, 1].max():.3f} "

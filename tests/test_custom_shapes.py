@@ -113,3 +113,61 @@ def test_custom_collider_requires_mass():
         assert "mass" in str(e)
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_world_carried_shape_and_queries():
+    """shape= registration rides on World.custom_shapes: physics_step
+    needs no explicit argument, and ray/point/shape queries see the
+    custom collider."""
+    import jax.numpy as jnp
+
+    from avian_tpu import ShapeType
+    from avian_tpu.pipeline.broadphase import update_aabbs
+    from avian_tpu.queries import (
+        cast_ray,
+        cast_shape,
+        point_intersections,
+        project_point,
+    )
+
+    b = SceneBuilder()
+    g = b.add_body(body_type=BodyType.STATIC)
+    b.half_space(g, normal=(0, 1, 0))
+    a_, b2, c_ = 0.6, 0.3, 0.6
+    m, i = _ellipsoid_mass_inertia(a_, b2, c_)
+    body = b.add_body(pos=(0.0, 1.0, 0.0))
+    b.custom_collider(body, shape=ELLIPSOID, params=(a_, b2, c_), mass=m,
+                      inertia=i)
+    w = b.finalize(max_bodies=4, max_colliders=4, max_contacts=32)
+    assert w.custom_shapes == (ELLIPSOID,)
+
+    cfg = PhysicsConfig(max_colors=4)
+
+    def one(w, _):
+        return physics_step(w, cfg), None  # no custom_shapes arg
+
+    w = jax.jit(lambda w: jax.lax.scan(one, w, None, length=200)[0])(w)
+    y = float(w.bodies.pos[body][1])
+    assert abs(y - 0.3) < 0.05, y
+
+    w = update_aabbs(w, cfg)
+    # Ray straight down hits the ellipsoid's top (y ~ 0.6).
+    hit = cast_ray(w, (0.0, 3.0, 0.0), (0.0, -1.0, 0.0))
+    assert bool(hit.hit) and int(hit.collider) == 1
+    assert abs(float(hit.point[1]) - 2 * 0.3) < 0.05, hit.point
+    # Point projection from above: closest point is the top.
+    pr = project_point(w, (0.0, 2.0, 0.0))
+    assert int(pr["collider"]) == 1
+    assert abs(float(pr["distance"]) - (2.0 - 0.6)) < 0.06, pr["distance"]
+    # Containment: the center is inside, a far point is not.
+    inside = np.asarray(point_intersections(w, (0.0, y, 0.0)))
+    assert 1 in inside.tolist()
+    outside = np.asarray(point_intersections(w, (3.0, 3.0, 3.0)))
+    assert 1 not in outside.tolist()
+    # Shape cast: a sphere swept down from above stops ~at the surface.
+    sh = cast_shape(
+        w, ShapeType.SPHERE, (0.2,), (0.0, 3.0, 0.0),
+        (0.0, 0.0, 0.0, 1.0), (0.0, -1.0, 0.0), max_distance=5.0,
+    )
+    assert bool(sh.hit) and int(sh.collider) == 1
+    assert abs(float(sh.distance) - (3.0 - 0.6 - 0.2)) < 0.08, sh.distance

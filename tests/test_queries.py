@@ -251,3 +251,25 @@ def test_hermite_interpolation():
     ph, _ = hermite_interpolate_poses(prev, nxt, 0.5, dt)
     pl, _ = interpolate_poses(prev, nxt, 0.5)
     assert float(jnp.abs(ph[body] - pl[body]).max()) > 1e-4
+
+
+def test_cast_shape_vs_convex_hull():
+    """Regression: cast_shape against a hull collider must see the pool
+    (the manifold call once omitted convex_verts, so every hull looked
+    like a degenerate point at its origin)."""
+    b = SceneBuilder()
+    h = b.add_body(body_type=BodyType.STATIC, pos=(0.0, 1.0, 0.0))
+    # An octahedron with "radius" 1: farthest x extent = 1.
+    b.convex_hull(h, [(1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
+                      (0, 0, 1), (0, 0, -1)])
+    w = update_aabbs(
+        b.finalize(max_bodies=2, max_colliders=2, max_contacts=8),
+        PhysicsConfig(max_colors=4),
+    )
+    sh = cast_shape(
+        w, ShapeType.SPHERE, (0.25,), (5.0, 1.0, 0.0),
+        (0.0, 0.0, 0.0, 1.0), (-1.0, 0.0, 0.0), max_distance=10.0,
+    )
+    assert bool(sh.hit)
+    # Sphere surface meets the octahedron vertex at x=1: travel ~ 5-1-0.25.
+    assert abs(float(sh.distance) - 3.75) < 0.1, sh.distance
