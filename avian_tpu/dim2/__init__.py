@@ -30,6 +30,7 @@ colliders, compound = multiple colliders per body).
 from avian_tpu.dim2.builder import SceneBuilder2D
 from avian_tpu.dim2.state import Bodies2D, Colliders2D, Contacts2D, Joints2D, World2D
 from avian_tpu.dim2.step import physics_step_2d, rollout_2d
+from avian_tpu.dim2 import queries
 
 __all__ = [
     "SceneBuilder2D",
@@ -40,4 +41,5 @@ __all__ = [
     "World2D",
     "physics_step_2d",
     "rollout_2d",
+    "queries",
 ]

@@ -131,6 +131,8 @@ class SceneBuilder2D:
         dominance: int = 0,
         locked_axes: int = 0,
         sleep_disabled: bool = False,
+        swept_ccd: bool = False,
+        swept_ccd_nonlinear: bool = False,
     ) -> int:
         self._bodies.append(
             dict(
@@ -150,6 +152,8 @@ class SceneBuilder2D:
                 dominance=dominance,
                 locked_axes=locked_axes,
                 sleep_disabled=sleep_disabled,
+                swept_ccd=swept_ccd,
+                swept_ccd_nonlinear=swept_ccd_nonlinear,
             )
         )
         return len(self._bodies) - 1
@@ -487,6 +491,8 @@ class SceneBuilder2D:
         body_type = np.zeros(n, np.int32)
         locked = np.zeros(n, np.int32)
         sleep_dis = np.zeros(n, bool)
+        swept = np.zeros(n, bool)
+        swept_nl = np.zeros(n, bool)
 
         for i, bd in enumerate(self._bodies):
             pos[i] = bd["pos"]
@@ -518,6 +524,8 @@ class SceneBuilder2D:
             dominance[i] = bd["dominance"]
             locked[i] = bd["locked_axes"]
             sleep_dis[i] = bd["sleep_disabled"]
+            swept[i] = bd["swept_ccd"]
+            swept_nl[i] = bd["swept_ccd_nonlinear"]
 
         bodies = world.bodies.replace(
             pos=jnp.asarray(pos),
@@ -549,6 +557,8 @@ class SceneBuilder2D:
             active=jnp.asarray(np.arange(n) < nb),
             locked_axes=jnp.asarray(locked),
             sleep_disabled=jnp.asarray(sleep_dis),
+            swept_ccd=jnp.asarray(swept),
+            swept_ccd_nonlinear=jnp.asarray(swept_nl),
         )
 
         # ---- joints ----------------------------------------------------

@@ -64,6 +64,8 @@ class Bodies2D:
     sleep_timer: jnp.ndarray  # f32[N]
     sleep_disabled: jnp.ndarray  # bool[N]
     island: jnp.ndarray     # i32[N]
+    swept_ccd: jnp.ndarray  # bool[N] opt-in swept CCD (SweptCcd)
+    swept_ccd_nonlinear: jnp.ndarray  # bool[N] SweepMode::NonLinear
 
     @property
     def capacity(self) -> int:
@@ -101,6 +103,8 @@ class Bodies2D:
             sleep_timer=f1,
             sleep_disabled=jnp.zeros((n,), bool),
             island=jnp.zeros((n,), jnp.int32),
+            swept_ccd=jnp.zeros((n,), bool),
+            swept_ccd_nonlinear=jnp.zeros((n,), bool),
         )
 
 

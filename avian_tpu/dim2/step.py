@@ -83,6 +83,12 @@ def physics_step_2d(
         substep, (s, con, jcon, cdata), None, length=config.substeps
     )
 
+    # ---- swept CCD (after substeps, before restitution; ccd/mod.rs:257) --
+    if config.swept_ccd:
+        from avian_tpu.dim2 import ccd as ccd_m
+
+        s = ccd_m.solve_swept_ccd_2d(world, s, config)
+
     # ---- finalize --------------------------------------------------------
     s, con = sol_m.solve_restitution(s, con, config)
     contacts = sol_m.store_impulses(contacts, con)

@@ -5,7 +5,9 @@ from avian_tpu.parallel.sharding import (
     replicate_world,
     shard_world,
     make_batched_step,
+    make_batched_step_2d,
     make_sharded_step,
+    make_sharded_step_2d,
 )
 
 __all__ = [
@@ -13,5 +15,7 @@ __all__ = [
     "replicate_world",
     "shard_world",
     "make_batched_step",
+    "make_batched_step_2d",
     "make_sharded_step",
+    "make_sharded_step_2d",
 ]

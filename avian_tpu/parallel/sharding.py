@@ -80,6 +80,38 @@ def make_sharded_step(config: PhysicsConfig, mesh: Mesh):
     return step
 
 
+def make_batched_step_2d(config: PhysicsConfig):
+    """vmapped single-chip 2D step: ``World2D[batch] -> World2D[batch]``.
+    (``replicate_world``/``shard_world`` are generic pytree maps and work
+    on ``World2D`` unchanged.)"""
+    from avian_tpu.dim2.step import physics_step_2d
+
+    @jax.jit
+    def step(world):
+        return jax.vmap(lambda w: physics_step_2d(w, config))(world)
+
+    return step
+
+
+def make_sharded_step_2d(config: PhysicsConfig, mesh: Mesh):
+    """Multi-chip 2D step via ``shard_map`` (zero collectives, like the 3D
+    variant)."""
+    from avian_tpu.dim2.step import physics_step_2d
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(SCENE_AXIS),),
+        out_specs=P(SCENE_AXIS),
+        check_vma=False,
+    )
+    def step(world):
+        return jax.vmap(lambda w: physics_step_2d(w, config))(world)
+
+    return step
+
+
 def gather_metrics(per_scene_metrics):
     """Mean-reduce per-scene diagnostics across the batch (works under both
     the batched and sharded step; psum/mean over the leading axis)."""

@@ -86,6 +86,48 @@ def load(path: str) -> World:
     return build(World, "")
 
 
+def load_2d(path: str):
+    """Load a :class:`~avian_tpu.dim2.state.World2D` saved by :func:`save`
+    (``save`` walks any dataclass pytree, so it covers both profiles)."""
+    from avian_tpu.dim2.state import (
+        Bodies2D,
+        Colliders2D,
+        Contacts2D,
+        Joints2D,
+        World2D,
+    )
+
+    data = np.load(path)
+
+    def build(cls, prefix):
+        kw = {}
+        for f in dataclasses.fields(cls):
+            key = f"{prefix}{f.name}"
+            sub = {
+                "bodies": Bodies2D,
+                "colliders": Colliders2D,
+                "contacts": Contacts2D,
+                "joints": Joints2D,
+            }.get(f.name)
+            if sub is not None and cls is World2D:
+                kw[f.name] = build(sub, key + ".")
+            elif f.name == "diverged" and key not in data.files:
+                kw[f.name] = jax.numpy.zeros((), bool)
+            elif (
+                f.name in ("swept_ccd", "swept_ccd_nonlinear")
+                and key not in data.files
+            ):
+                # Checkpoints predating the 2D swept-CCD fields.
+                kw[f.name] = jax.numpy.zeros(
+                    data[f"{prefix}angle"].shape, bool
+                )
+            else:
+                kw[f.name] = jax.numpy.asarray(data[key])
+        return cls(**kw)
+
+    return build(World2D, "")
+
+
 def save_orbax(path: str, world: World) -> None:
     """Checkpoint via orbax (supports sharded arrays across hosts)."""
     import orbax.checkpoint as ocp

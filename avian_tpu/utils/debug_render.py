@@ -235,6 +235,151 @@ def render_scene(
     return ax
 
 
+def render_scene_2d(
+    world,
+    path: str | None = None,
+    show_aabbs=False,
+    show_colliders=True,
+    show_contacts=True,
+    show_joints=True,
+    show_velocities=False,
+    show_islands=False,
+    ax=None,
+):
+    """Render a :class:`~avian_tpu.dim2.state.World2D` snapshot (the
+    ``avian2d`` debug-render counterpart, ``debug_render/mod.rs:141-523``).
+    Rounded colliders draw their core polygon plus a circle at each vertex
+    of radius ``radius`` (exact for circles/capsule caps)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.patches import Circle, Rectangle
+
+    if ax is None:
+        _, ax = plt.subplots(figsize=(10, 10))
+
+    col = world.colliders
+    bodies = world.bodies
+    active = np.asarray(col.active)
+    body_idx = np.asarray(col.body_idx)
+    sleeping = np.asarray(bodies.sleeping)
+    island = np.asarray(bodies.island)
+
+    def body_color(b):
+        if show_islands:
+            return plt.cm.tab20(island[b] % 20)
+        return "0.6" if sleeping[b] else "tab:blue"
+
+    if show_aabbs:
+        lo = np.asarray(col.aabb_min)
+        hi = np.asarray(col.aabb_max)
+        for i in np.nonzero(active)[0]:
+            if hi[i, 0] - lo[i, 0] > 1e8:
+                continue  # half-spaces
+            ax.add_patch(
+                Rectangle(
+                    (lo[i, 0], lo[i, 1]), hi[i, 0] - lo[i, 0],
+                    hi[i, 1] - lo[i, 1], fill=False,
+                    edgecolor=body_color(body_idx[i]), linewidth=0.7,
+                )
+            )
+
+    if show_colliders:
+        from avian_tpu.dim2.broadphase import update_collider_poses
+
+        pos, angle = update_collider_poses(world)
+        pos = np.asarray(pos)
+        angle = np.asarray(angle)
+        verts = np.asarray(col.poly_verts)
+        counts = np.asarray(col.vert_count)
+        radii = np.asarray(col.radius)
+        is_plane = np.asarray(col.is_plane)
+        for i in np.nonzero(active)[0]:
+            color = body_color(body_idx[i])
+            c, s = np.cos(angle[i]), np.sin(angle[i])
+            rot = np.asarray([[c, -s], [s, c]], np.float32)
+            if is_plane[i]:
+                n = rot @ verts[i, 0]
+                t = np.asarray([-n[1], n[0]])
+                p0, p1 = pos[i] - 50 * t, pos[i] + 50 * t
+                ax.plot([p0[0], p1[0]], [p0[1], p1[1]], color=color, lw=1.0)
+                continue
+            k = int(counts[i])
+            wv = verts[i, :k] @ rot.T + pos[i]
+            if k >= 2:
+                loop = np.vstack([wv, wv[:1]]) if k >= 3 else wv
+                ax.plot(loop[:, 0], loop[:, 1], color=color, lw=0.8)
+            if radii[i] > 1e-9:
+                for p in wv:
+                    ax.add_patch(
+                        Circle(p, radii[i], fill=False, edgecolor=color,
+                               linewidth=0.8)
+                    )
+
+    if show_contacts:
+        c2 = world.contacts
+        touching = np.asarray(c2.active & c2.touching)
+        num_pts = np.asarray(c2.num_points)
+        anchors = np.asarray(c2.anchor_b)
+        normals = np.asarray(c2.normal)
+        imps = np.asarray(c2.max_normal_impulse)
+        ang = np.asarray(bodies.angle)
+        ca, sa = np.cos(ang), np.sin(ang)
+        com_l = np.asarray(bodies.com)
+        com_w = np.asarray(bodies.pos) + np.stack(
+            [ca * com_l[:, 0] - sa * com_l[:, 1],
+             sa * com_l[:, 0] + ca * com_l[:, 1]], axis=-1
+        )
+        b_idx = np.asarray(c2.body_b)
+        for k in np.nonzero(touching)[0]:
+            for p in range(int(num_pts[k])):
+                pt = com_w[b_idx[k]] + anchors[k, p]
+                ax.plot(pt[0], pt[1], "r.", markersize=3)
+                n = normals[k] * min(0.3, 0.05 + 0.01 * imps[k, p])
+                ax.plot([pt[0], pt[0] + n[0]], [pt[1], pt[1] + n[1]],
+                        "r-", lw=0.5)
+
+    if show_joints:
+        j = world.joints
+        j_active = np.asarray(j.active)
+        if j_active.any():
+            bpos = np.asarray(bodies.pos)
+            ang = np.asarray(bodies.angle)
+            for k in np.nonzero(j_active)[0]:
+                ia, ib = int(np.asarray(j.body_a)[k]), int(np.asarray(j.body_b)[k])
+
+                def to_world(i, anchor):
+                    c, s = np.cos(ang[i]), np.sin(ang[i])
+                    return bpos[i] + np.asarray(
+                        [c * anchor[0] - s * anchor[1],
+                         s * anchor[0] + c * anchor[1]]
+                    )
+
+                pa = to_world(ia, np.asarray(j.anchor_a)[k])
+                pb = to_world(ib, np.asarray(j.anchor_b)[k])
+                ax.plot([pa[0], pb[0]], [pa[1], pb[1]], color="tab:orange",
+                        lw=1.2)
+                ax.plot([pa[0], pb[0]], [pa[1], pb[1]], "o",
+                        color="tab:orange", markersize=3)
+
+    if show_velocities:
+        pos = np.asarray(bodies.pos)
+        vel = np.asarray(bodies.lin_vel)
+        act = np.asarray(bodies.active)
+        for i in np.nonzero(act)[0]:
+            ax.arrow(pos[i, 0], pos[i, 1], vel[i, 0] * 0.1, vel[i, 1] * 0.1,
+                     color="g", width=0.005)
+
+    ax.set_aspect("equal")
+    ax.autoscale_view()
+    ax.set_xlabel("x")
+    ax.set_ylabel("y")
+    if path:
+        ax.figure.savefig(path, dpi=120, bbox_inches="tight")
+    return ax
+
+
 def draw_ray(ax, origin, hit, axes=("x", "y"), color="tab:purple"):
     """Raycast gizmo (``debug_render/mod.rs:474-497``): origin-to-hit line,
     hit point + normal. ``hit`` is a ``queries.RayHit``."""

@@ -87,3 +87,35 @@ def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_sharded_2d_matches_unsharded():
+    """The dedicated 2D profile shards over the scene mesh identically."""
+    from avian_tpu.dim2 import scenes as scenes2d
+    from avian_tpu.parallel import make_batched_step_2d, make_sharded_step_2d
+
+    config = PhysicsConfig(substeps=2, max_colors=4)
+    world, _ = scenes2d.box_pyramid_2d(base=3)
+    batch = 8
+    batched = replicate_world(world, batch)
+    offsets = 0.05 * np.arange(batch, dtype=np.float32)
+    pos = np.array(batched.bodies.pos)
+    pos[:, 1, 1] += offsets
+    batched = batched.replace(
+        bodies=batched.bodies.replace(pos=jnp.asarray(pos))
+    )
+
+    mesh = make_scene_mesh(jax.devices()[:8])
+    plain = make_batched_step_2d(config)
+    sharded = make_sharded_step_2d(config, mesh)
+
+    w_plain = batched
+    w_shard = shard_world(batched, mesh)
+    for _ in range(5):
+        w_plain = plain(w_plain)
+        w_shard = sharded(w_shard)
+    np.testing.assert_allclose(
+        np.asarray(w_plain.bodies.pos), np.asarray(w_shard.bodies.pos),
+        atol=1e-6,
+    )
+    assert bool(jnp.all(jnp.isfinite(w_shard.bodies.pos)))
