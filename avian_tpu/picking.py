@@ -62,3 +62,29 @@ def pick_batch(
         jnp.asarray(pointer_origins, jnp.float32),
         jnp.asarray(pointer_directions, jnp.float32),
     )
+
+
+def pick_2d(
+    world,
+    pointer_origin,
+    pointer_direction,
+    max_distance=1e30,
+    solid=True,
+    qfilter: QueryFilter = None,
+    pickable=None,
+):
+    """Closest pickable hit for one pointer ray on the 2D profile
+    (``World2D``); same pickable-mask semantics as :func:`pick`."""
+    from avian_tpu.dim2.queries import cast_ray as cast_ray_2d
+
+    qfilter = qfilter if qfilter is not None else QueryFilter()
+    if pickable is not None:
+        pickable = jnp.asarray(pickable, bool)
+        qfilter = QueryFilter(
+            mask=qfilter.mask,
+            excluded=jnp.broadcast_to(qfilter.excluded, pickable.shape)
+            | ~pickable,
+        )
+    return cast_ray_2d(
+        world, pointer_origin, pointer_direction, max_distance, solid, qfilter
+    )

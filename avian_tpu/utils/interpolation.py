@@ -85,3 +85,48 @@ def hermite_interpolate_poses(bodies_prev, bodies_next, alpha, dt: float):
         quat_m.mul(quat_m.from_scaled_axis(theta), q0)
     )
     return pos, quat
+
+
+# ---------------------------------------------------------------------------
+# 2D profile (scalar rotation angles; ``avian_tpu.dim2``)
+# ---------------------------------------------------------------------------
+
+
+def interpolate_poses_2d(bodies_prev, bodies_next, alpha: float):
+    """2D snapshot blend: linear on positions, shortest-arc on angles."""
+    pos = bodies_prev.pos + (bodies_next.pos - bodies_prev.pos) * alpha
+    d = bodies_next.angle - bodies_prev.angle
+    d = jnp.mod(d + jnp.pi, 2.0 * jnp.pi) - jnp.pi  # shortest arc
+    return pos, bodies_prev.angle + d * alpha
+
+
+def extrapolate_poses_2d(bodies, dt: float):
+    """2D velocity extrapolation."""
+    return bodies.pos + bodies.lin_vel * dt, bodies.angle + bodies.ang_vel * dt
+
+
+def hermite_interpolate_poses_2d(bodies_prev, bodies_next, alpha, dt: float):
+    """2D cubic Hermite with endpoint velocities as tangents
+    (``interpolation.rs:138-149`` on the avian2d profile); the angle span
+    uses the raw (unwrapped) delta so >pi-per-step spins interpolate the
+    long way the motion actually took."""
+    t = jnp.asarray(alpha, jnp.float32)
+    t2 = t * t
+    t3 = t2 * t
+    h00 = 2.0 * t3 - 3.0 * t2 + 1.0
+    h10 = t3 - 2.0 * t2 + t
+    h01 = -2.0 * t3 + 3.0 * t2
+    h11 = t3 - t2
+    pos = (
+        h00 * bodies_prev.pos
+        + h10 * dt * bodies_prev.lin_vel
+        + h01 * bodies_next.pos
+        + h11 * dt * bodies_next.lin_vel
+    )
+    angle = (
+        h00 * bodies_prev.angle
+        + h10 * dt * bodies_prev.ang_vel
+        + h01 * bodies_next.angle
+        + h11 * dt * bodies_next.ang_vel
+    )
+    return pos, angle

@@ -79,6 +79,35 @@ def run_trajectory(world, config):
     return pos, quat, digest
 
 
+def scenes_2d():
+    """name -> (world2d, config) golden scenes on the native 2D engine."""
+    from avian_tpu.dim2 import scenes as scenes2d
+
+    w, _ = scenes2d.box_pyramid_2d(base=6)  # 21 boxes
+    return {"pyramid2d_native": (w, _config())}
+
+
+def run_trajectory_2d(world, config):
+    """(frames_pos f32[F, N, 2], frames_angle f32[F, N], final hash) on
+    the dedicated 2D profile."""
+    import jax
+
+    from avian_tpu.dim2.step import physics_step_2d
+
+    def body(w, _):
+        w = physics_step_2d(w, config)
+        return w, (w.bodies.pos, w.bodies.angle)
+
+    world, (pos, angle) = jax.lax.scan(body, world, None, length=NUM_STEPS)
+    pos = np.asarray(pos[STRIDE - 1::STRIDE])
+    angle = np.asarray(angle[STRIDE - 1::STRIDE])
+    digest = hashlib.sha256(
+        np.ascontiguousarray(pos).tobytes()
+        + np.ascontiguousarray(angle).tobytes()
+    ).hexdigest()
+    return pos, angle, digest
+
+
 def record():
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for name, (world, config) in scenes().items():
@@ -86,6 +115,15 @@ def record():
         path = os.path.join(GOLDEN_DIR, f"{name}.npz")
         np.savez_compressed(
             path, pos=pos, quat=quat, sha256=np.frombuffer(
+                bytes.fromhex(digest), np.uint8
+            )
+        )
+        print(f"recorded {name}: {pos.shape} frames, sha256={digest}")
+    for name, (world, config) in scenes_2d().items():
+        pos, angle, digest = run_trajectory_2d(world, config)
+        path = os.path.join(GOLDEN_DIR, f"{name}.npz")
+        np.savez_compressed(
+            path, pos=pos, angle=angle, sha256=np.frombuffer(
                 bytes.fromhex(digest), np.uint8
             )
         )

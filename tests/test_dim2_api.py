@@ -230,3 +230,85 @@ def test_swept_ccd_2d_vs_swept_ccd():
     xr = float(world.bodies.pos[right][0])
     assert xl <= xr + 0.2, f"bullets crossed: left={xl:.2f} right={xr:.2f}"
     assert np.isfinite([xl, xr]).all()
+
+
+def test_interpolation_2d_and_picking_2d():
+    """2D interpolation helpers + physics picking on World2D."""
+    from avian_tpu.picking import pick_2d
+    from avian_tpu.utils.interpolation import (
+        extrapolate_poses_2d,
+        hermite_interpolate_poses_2d,
+        interpolate_poses_2d,
+    )
+
+    b = SceneBuilder2D()
+    body = b.add_body(pos=(0.0, 2.0), lin_vel=(1.0, 0.0), gravity_scale=0.0)
+    b.circle(body, 0.5)
+    w0 = b.finalize()
+    cfg = _config()
+    w1 = physics_step_2d(w0, cfg)
+
+    pos, angle = interpolate_poses_2d(w0.bodies, w1.bodies, 0.5)
+    assert pos[body][0] == pytest.approx(0.5 / 60.0 / 2.0 * 2.0, abs=1e-3)
+    # Endpoints are exact.
+    p0, _ = interpolate_poses_2d(w0.bodies, w1.bodies, 0.0)
+    np.testing.assert_allclose(
+        np.asarray(p0), np.asarray(w0.bodies.pos), atol=1e-7
+    )
+    ph, ah = hermite_interpolate_poses_2d(w0.bodies, w1.bodies, 1.0, cfg.dt)
+    np.testing.assert_allclose(
+        np.asarray(ph), np.asarray(w1.bodies.pos), atol=1e-5
+    )
+    pe, _ = extrapolate_poses_2d(w1.bodies, cfg.dt)
+    assert float(pe[body][0]) > float(w1.bodies.pos[body][0])
+
+    hit = pick_2d(w0, (0.0, 5.0), (0.0, -1.0))
+    assert bool(hit.hit) and int(hit.body) == body
+    # Pickable mask excludes the only collider -> no pick.
+    none = pick_2d(
+        w0, (0.0, 5.0), (0.0, -1.0),
+        pickable=jnp.zeros((w0.colliders.capacity,), bool),
+    )
+    assert not bool(none.hit)
+
+
+def test_custom_constraint_2d_pendulum():
+    """2D XpbdConstraint parity: a user center-distance constraint holds a
+    pendulum at its rest length (``custom_constraint.rs`` on avian2d)."""
+    from avian_tpu.dim2 import custom as cc2
+
+    class CenterDistance2D:
+        def __init__(self, body_a, body_b, rest):
+            self.body_a, self.body_b, self.rest = body_a, body_b, rest
+
+        def prepare(self, world, s, config):
+            return {"cd": cc2.center_difference(world, self.body_a, self.body_b)}
+
+        def solve(self, s, data, h):
+            ba = jnp.asarray([self.body_a], jnp.int32)
+            bb = jnp.asarray([self.body_b], jnp.int32)
+            z = jnp.zeros((1, 2), jnp.float32)
+            sep = cc2.current_separation(s, ba, bb, z, z, data["cd"][None, :])
+            dist = jnp.linalg.norm(sep, axis=-1)
+            dir_ = sep / jnp.maximum(dist, 1e-9)[..., None]
+            corr = dir_ * (dist - self.rest)[..., None]
+            s, _ = cc2.apply_positional_correction(
+                s, ba, bb, z, z, corr, 0.0, h
+            )
+            return s, data
+
+    b = SceneBuilder2D()
+    anchor = b.add_body(body_type=BodyType.STATIC)
+    b.box(anchor, 0.25, 0.25)
+    bob = b.add_body(pos=(2.0, 0.0))
+    b.box(bob, 0.25, 0.25)
+    world = b.finalize(max_bodies=4, max_colliders=4, max_contacts=16)
+    con = CenterDistance2D(anchor, bob, 2.0)
+    cfg = _config()
+    for _ in range(120):
+        world = physics_step_2d(world, cfg, custom_joints=con)
+    pos = np.asarray(world.bodies.pos)
+    assert np.isfinite(pos).all()
+    d = float(np.linalg.norm(pos[bob] - pos[anchor]))
+    assert abs(d - 2.0) < 0.05, f"distance drifted: {d}"
+    assert pos[bob][1] < -0.5  # swung down

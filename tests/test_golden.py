@@ -39,3 +39,25 @@ def test_golden_trajectory(name):
         "`env PYTHONPATH= JAX_PLATFORMS=cpu python tests/golden_common.py "
         "record` and justify in the commit message."
     )
+
+
+def test_golden_trajectory_2d_native():
+    """Golden hash on the dedicated 2D engine (pyramid, 21 boxes)."""
+    name = "pyramid2d_native"
+    path = os.path.join(gc.GOLDEN_DIR, f"{name}.npz")
+    assert os.path.exists(path), (
+        "golden artifact missing; run `python tests/golden_common.py record`"
+    )
+    golden = np.load(path)
+    world, config = gc.scenes_2d()[name]
+    pos, angle, digest = gc.run_trajectory_2d(world, config)
+
+    drift = np.abs(pos - golden["pos"]).max()
+    adrift = np.abs(angle - golden["angle"]).max()
+    assert drift < 1e-3, f"{name}: positional drift {drift} vs golden"
+    assert adrift < 1e-3, f"{name}: angular drift {adrift} vs golden"
+
+    golden_digest = bytes(golden["sha256"]).hex()
+    assert digest == golden_digest, (
+        f"{name}: trajectory hash changed ({digest} != {golden_digest})."
+    )
