@@ -40,24 +40,30 @@ def wake_body(world: World, body) -> World:
 
 def sleep_body(world: World, body) -> World:
     """SleepBody command: force a body asleep (it may be woken by its
-    island on the next step if neighbors are active)."""
+    island on the next step if neighbors are active). Works on both the
+    3D ``World`` and the 2D ``World2D`` (scalar broadcast zeroing)."""
     b = world.bodies
-    z = jnp.zeros(3, jnp.float32)
     return world.replace(
         bodies=b.replace(
             sleeping=b.sleeping.at[body].set(True),
-            lin_vel=b.lin_vel.at[body].set(z),
-            ang_vel=b.ang_vel.at[body].set(z),
+            lin_vel=b.lin_vel.at[body].set(0.0),
+            ang_vel=b.ang_vel.at[body].set(0.0),
         )
     )
 
 
-def set_position(world: World, body, pos, quat=None, wake=True) -> World:
-    """Teleport a body (user writes to Position/Rotation)."""
+def set_position(world: World, body, pos, quat=None, angle=None,
+                 wake=True) -> World:
+    """Teleport a body (user writes to Position/Rotation). Pass ``quat``
+    on the 3D profile or ``angle`` on the 2D profile."""
     b = world.bodies
     b = b.replace(pos=b.pos.at[body].set(jnp.asarray(pos, jnp.float32)))
     if quat is not None:
         b = b.replace(quat=b.quat.at[body].set(jnp.asarray(quat, jnp.float32)))
+    if angle is not None:
+        b = b.replace(
+            angle=b.angle.at[body].set(jnp.asarray(angle, jnp.float32))
+        )
     world = world.replace(bodies=b)
     return wake_body(world, body) if wake else world
 
