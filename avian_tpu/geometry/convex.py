@@ -292,18 +292,78 @@ def _minkowski_support(sa, sb):
     return s
 
 
+def _closest_on_triangle_to_origin(a, b, c):
+    """Closest point to the origin on triangle (a, b, c) — branch-free
+    Voronoi-region selection (Ericson, Real-Time Collision Detection
+    §5.1.5, specialized to query point 0). Degenerate (colinear /
+    duplicate-vertex) triangles fall through to the edge/vertex regions,
+    whose divisions are eps-guarded."""
+    ab = b - a
+    ac = c - a
+    ap = -a
+    d1 = vec.dot(ab, ap)
+    d2 = vec.dot(ac, ap)
+    bp = -b
+    d3 = vec.dot(ab, bp)
+    d4 = vec.dot(ac, bp)
+    cp = -c
+    d5 = vec.dot(ab, cp)
+    d6 = vec.dot(ac, cp)
+
+    in_a = (d1 <= 0.0) & (d2 <= 0.0)
+    in_b = (d3 >= 0.0) & (d4 <= d3)
+    in_c = (d6 >= 0.0) & (d5 <= d6)
+
+    vc = d1 * d4 - d3 * d2
+    in_ab = (vc <= 0.0) & (d1 >= 0.0) & (d3 <= 0.0)
+    t_ab = d1 / jnp.maximum(d1 - d3, _EPS)
+    p_ab = a + t_ab * ab
+
+    vb = d5 * d2 - d1 * d6
+    in_ac = (vb <= 0.0) & (d2 >= 0.0) & (d6 <= 0.0)
+    t_ac = d2 / jnp.maximum(d2 - d6, _EPS)
+    p_ac = a + t_ac * ac
+
+    va = d3 * d6 - d5 * d4
+    in_bc = (va <= 0.0) & (d4 - d3 >= 0.0) & (d5 - d6 >= 0.0)
+    t_bc = (d4 - d3) / jnp.maximum((d4 - d3) + (d5 - d6), _EPS)
+    p_bc = b + t_bc * (c - b)
+
+    denom = va + vb + vc
+    v = vb / jnp.where(jnp.abs(denom) > _EPS, denom, _EPS)
+    w = vc / jnp.where(jnp.abs(denom) > _EPS, denom, _EPS)
+    p_int = a + ab * v + ac * w
+
+    # Priority cascade: vertex regions, then edges, then interior.
+    p = p_int
+    p = jnp.where(in_bc, p_bc, p)
+    p = jnp.where(in_ac, p_ac, p)
+    p = jnp.where(in_ab, p_ab, p)
+    p = jnp.where(in_c, c, p)
+    p = jnp.where(in_b, b, p)
+    p = jnp.where(in_a, a, p)
+    return p
+
+
 def _fw_distance(sk, x0):
-    """Frank-Wolfe closest point of K to the origin, from ``x0`` in K."""
+    """Closest point of K to the origin from ``x0`` in K: a working-set
+    Frank-Wolfe (GJK-style 2-simplex) iteration. Each step projects the
+    origin onto the triangle spanned by the current iterate, the new
+    support point, and the previous support point — vanilla FW's
+    line-search zigzags at O(1/k) near Minkowski-polytope edges (measured
+    ~0.08 distance error at 24 iters for a capsule-vs-box corner, which
+    stalled the character controller on a step); the triangle projection
+    resolves edge-closest configurations in a few iterations."""
 
-    def body(x, _):
+    def body(carry, _):
+        x, s_prev = carry
         s = sk(-x)
-        dxs = x - s
-        denom = vec.length_sq(dxs)
-        gamma = jnp.clip(vec.dot(x, dxs) / jnp.maximum(denom, _EPS), 0.0, 1.0)
-        x_new = x - gamma * dxs
-        return x_new, None
+        x_new = _closest_on_triangle_to_origin(x, s, s_prev)
+        return (x_new, s), None
 
-    x, _ = jax.lax.scan(body, x0, None, length=_FW_ITERS)
+    (x, _), _ = jax.lax.scan(
+        body, (x0, sk(-x0)), None, length=_FW_ITERS
+    )
     return x
 
 
@@ -431,7 +491,18 @@ def generic_convex_pair(support_a, patch_a, support_b, patch_b,
         # sigma_K(u) = directional overlap (how far B must move along +u to
         # separate); its minimizer u* IS the minimum-translation direction,
         # and points from A toward B (1D check: A=[0,2], B=[1,3] -> u*=+1).
-        penetrating = dist < 1e-4
+        #
+        # Classification: FW's residual |x| when the origin is INSIDE K is
+        # ~1e-3..1e-2 in f32 (the working-set simplex collapses around the
+        # origin), so |x| alone misclassifies near-touching configs — and
+        # below ~1e-2 the FW direction is noise-dominated anyway. In that
+        # near zone trust the depth search instead: sigma* > 0 means no
+        # separating direction was found (penetrating), sigma* < 0
+        # certifies separation; either way d_pen is the meaningful normal
+        # there (the true separation is re-measured from the patches along
+        # the final normal, so a borderline misclassification only changes
+        # the normal SOURCE, not the sign of the emitted separation).
+        penetrating = (dist < 1e-4) | ((dist < 1e-2) & (overlap > 0.0))
         n = jnp.where(penetrating, _nrm(d_pen), sep_dir)
 
         # --- patches + polish ---------------------------------------------

@@ -3,10 +3,12 @@ full pipeline (VERDICT round-1 item 4: "a cylinder stack rests stably").
 Exercises the generic support-map path (``geometry/convex.py``)."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from avian_tpu import BodyType, PhysicsConfig, SceneBuilder
 from avian_tpu.core.types import ShapeType
+from avian_tpu.geometry.narrowphase import compute_manifold
 from avian_tpu.pipeline.step import rollout
 
 CFG = PhysicsConfig(
@@ -77,3 +79,42 @@ def test_lying_cylinder_does_not_roll_away():
     assert np.isfinite(pos).all()
     assert abs(pos[1] - 0.5) < 0.03, pos     # resting on its side
     assert abs(pos[0]) < 0.2 and abs(pos[2]) < 0.2  # no drift
+
+
+def test_capsule_box_corner_distance_accuracy():
+    """Separation accuracy at a capsule-vs-box-corner configuration.
+
+    Regression for the character-controller stall: vanilla Frank-Wolfe
+    zigzagged at O(1/k) near Minkowski-polytope edges and reported ~0.08
+    less separation than true at this pose (so shape casts stopped early
+    with a flat normal and move_and_slide could not climb a step). The
+    working-set (triangle-projection) iteration + depth-based near-zone
+    classification keep the error < 5e-3 through the contact transition.
+    """
+    import numpy as np
+
+    ID = jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32)
+    box_pos = jnp.asarray([2.5, 0.1, 0.0], jnp.float32)
+    box_prm = jnp.zeros(8).at[:3].set(jnp.asarray([0.8, 0.1, 1.0]))
+    cap_prm = jnp.zeros(8).at[:2].set(jnp.asarray([0.5, 0.4]))
+    pairs = ((int(ShapeType.CAPSULE), int(ShapeType.BOX)),)
+    for x in [1.20, 1.25, 1.30, 1.34, 1.3641, 1.40, 1.45]:
+        cap_pos = jnp.asarray([x, 0.91, 0.0], jnp.float32)
+        m = compute_manifold(
+            jnp.asarray(int(ShapeType.CAPSULE)), cap_pos, ID, cap_prm,
+            jnp.asarray(int(ShapeType.BOX)), box_pos, ID, box_prm,
+            shape_pairs=pairs,
+        )
+        sep = float(jnp.min(m.separation))
+        # Analytic: capsule bottom-sphere center vs clamped box point.
+        c = np.array([x, 0.41, 0.0])
+        q = np.array([
+            min(max(c[0], 1.7), 3.3), min(max(c[1], 0.0), 0.2), 0.0,
+        ])
+        true_sep = float(np.linalg.norm(c - q)) - 0.4
+        assert abs(sep - true_sep) < 5e-3, (
+            f"x={x}: sep {sep} vs analytic {true_sep}"
+        )
+        n = np.asarray(m.normal)
+        true_n = (q - c) / np.linalg.norm(q - c)
+        assert float(n @ true_n) > 0.98, f"x={x}: normal {n} vs {true_n}"
