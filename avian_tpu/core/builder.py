@@ -467,6 +467,32 @@ class SceneBuilder:
             for f in faces
         ]
 
+    def convex_decomposition(self, body, vertices, faces, resolution=64,
+                             max_parts=64, concavity=0.05,
+                             plane_downsampling=4, min_voxels=4, **kw):
+        """Approximate convex decomposition collider
+        (``Collider::convex_decomposition``,
+        ``parry/mod.rs:962-990``): decomposes the mesh into
+        approximately-convex parts (native C++ VHACD-style kernel in
+        ``avian_tpu.native``, numpy fallback) and attaches one convex-hull
+        collider per part — the compound-of-hulls shape Parry builds.
+        Unlike :meth:`trimesh`, the result is a *solid* suitable for
+        dynamic bodies (hulls carry mass). Parameters mirror the
+        reference's ``VhacdParameters`` (``parry/mod.rs:37-108``).
+
+        Returns the list of collider indices (one per part).
+        """
+        from avian_tpu import native
+
+        parts = native.decompose_mesh(
+            vertices, faces, resolution=resolution, max_parts=max_parts,
+            concavity=concavity, plane_downsampling=plane_downsampling,
+            min_voxels=min_voxels,
+        )
+        if not parts:
+            raise ValueError("convex_decomposition: empty voxelization")
+        return [self.convex_hull(body, pts, **dict(kw)) for pts in parts]
+
     def heightfield(self, body, heights, x_extent, z_extent, **kw):
         """Heightfield collider (``Collider::heightfield``): a regular
         ``[nx, nz]`` grid of heights spanning ``x_extent`` x ``z_extent``

@@ -23,12 +23,13 @@ Supported kinds:
 - ``convex_hull``  points [K, 3]
 - ``trimesh``      vertices [V, 3], faces [F, 3]
 - ``heightfield``  heights [nx, nz], x_extent, z_extent
-- ``trimesh_from_mesh`` / ``convex_hull_from_mesh``: mesh dict with
-  "vertices"/"faces" (the collider-from-mesh path).
-
-Convex decomposition (VHACD) is intentionally not provided: use
-``trimesh`` for static geometry or ``convex_hull`` per part for dynamic
-bodies.
+- ``convex_decomposition``  vertices [V, 3], faces [F, 3] + optional
+  VHACD params (resolution, max_parts, concavity, plane_downsampling,
+  min_voxels) — compound of approximately-convex hulls via the native
+  decomposition kernel (``avian_tpu.native``).
+- ``trimesh_from_mesh`` / ``convex_hull_from_mesh`` /
+  ``convex_decomposition_from_mesh``: mesh dict with "vertices"/"faces"
+  (the collider-from-mesh path).
 """
 
 from avian_tpu.core.builder import SceneBuilder
@@ -65,6 +66,17 @@ def spawn(builder: SceneBuilder, body: int, recipe: dict, **collider_kw):
     if kind == "heightfield":
         return builder.heightfield(
             body, r["heights"], r["x_extent"], r["z_extent"], **collider_kw
+        )
+    if kind == "convex_decomposition":
+        verts = r.pop("vertices")
+        faces = r.pop("faces")
+        return builder.convex_decomposition(
+            body, verts, faces, **r, **collider_kw
+        )
+    if kind == "convex_decomposition_from_mesh":
+        mesh = r.pop("mesh")
+        return builder.convex_decomposition(
+            body, mesh["vertices"], mesh["faces"], **r, **collider_kw
         )
     if kind == "trimesh_from_mesh":
         mesh = r["mesh"]

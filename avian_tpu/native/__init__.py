@@ -1,0 +1,425 @@
+"""Native (C++) host-side kernels, loaded via ctypes.
+
+The reference outsources its heavy host-side geometry preprocessing to
+Parry, a native Rust library (SURVEY.md §2b) — most notably VHACD
+approximate convex decomposition
+(``/root/reference/src/collision/collider/parry/mod.rs:962-990``).
+This package is the counterpart: C++ kernels compiled on first use with
+the system toolchain and bound through ``ctypes`` (no pybind11 in this
+image). Every entry point has a pure-numpy fallback with identical
+semantics, used when no compiler is available; tests compare the two.
+
+Decomposition pipeline (mirrors VHACD's structure,
+``parry/mod.rs:37-108``):
+
+1. voxelize the mesh — surface rasterization + exterior flood fill
+   (``avt_voxelize``; open meshes degrade to shells);
+2. greedily split the part with the worst concavity along the best
+   axis-aligned plane. Plane scoring (the hot kernel, ``avt_best_plane``)
+   uses a 26-DOP volume proxy for the halves' convex hulls — the role of
+   VHACD's ``convex_hull_approximation=true`` default; the accept test
+   uses the exact convex-hull volume (qhull) of the part's surface-voxel
+   corners.
+
+Public API: :func:`voxelize_mesh`, :func:`decompose_labels`,
+:func:`decompose_mesh` (mesh -> list of per-part point clouds).
+"""
+
+import ctypes
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "decomp.cpp")
+_LIB = None
+_LIB_TRIED = False
+
+# 13 direction pairs of the 26-DOP (axes, face diagonals, corner
+# diagonals); integer so projections of integer cells stay exact.
+_DIRS = np.array(
+    [
+        [1, 0, 0], [0, 1, 0], [0, 0, 1],
+        [1, 1, 0], [1, -1, 0], [1, 0, 1], [1, 0, -1], [0, 1, 1], [0, 1, -1],
+        [1, 1, 1], [1, -1, 1], [1, 1, -1], [1, -1, -1],
+    ],
+    np.int64,
+)
+
+_CORNER_OFFS = np.array(
+    [[dx, dy, dz] for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)],
+    np.float64,
+)
+
+
+def _build_lib():
+    """Compile decomp.cpp to a shared library (cached next to the source,
+    keyed by source mtime so edits invalidate)."""
+    so = os.path.join(_HERE, "_decomp.so")
+    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(_SRC):
+        return so
+    # Build to a temp file first so a concurrent test worker never loads a
+    # half-written .so, then atomically rename.
+    fd, tmp = tempfile.mkstemp(suffix=".so", dir=_HERE)
+    os.close(fd)
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp],
+            check=True, capture_output=True, timeout=120,
+        )
+        os.replace(tmp, so)
+        return so
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
+def _lib():
+    """Load (building if needed) the native library, or None."""
+    global _LIB, _LIB_TRIED
+    if _LIB_TRIED:
+        return _LIB
+    _LIB_TRIED = True
+    if os.environ.get("AVIAN_TPU_NO_NATIVE"):
+        return None
+    try:
+        lib = ctypes.CDLL(_build_lib())
+    except Exception:
+        return None
+    lib.avt_voxelize.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_float, ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.avt_voxelize.restype = None
+    lib.avt_best_plane.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int, ctypes.c_int, ctypes.c_float,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.avt_best_plane.restype = ctypes.c_double
+    _LIB = lib
+    return _LIB
+
+
+def native_available():
+    return _lib() is not None
+
+
+def _ptr(a, ct):
+    return a.ctypes.data_as(ctypes.POINTER(ct))
+
+
+# ---------------------------------------------------------------------------
+# numpy fallbacks (identical semantics to decomp.cpp)
+# ---------------------------------------------------------------------------
+
+def _py_voxelize(V, F, dims, origin, voxel):
+    nx, ny, nz = dims
+    surf = np.zeros((nx, ny, nz), bool)
+    inv = 1.0 / voxel
+    for tri in F:
+        a, b, c = V[tri[0]], V[tri[1]], V[tri[2]]
+        m = max(
+            np.linalg.norm(b - a), np.linalg.norm(c - a),
+            np.linalg.norm(c - b),
+        )
+        ns = max(1, int(np.ceil(m * inv * 2.0)))
+        ii, jj = np.meshgrid(np.arange(ns + 1), np.arange(ns + 1),
+                             indexing="ij")
+        keep = (ii + jj) <= ns
+        u = (ii[keep] / ns)[:, None]
+        v = (jj[keep] / ns)[:, None]
+        p = (1.0 - u - v) * a + u * b + v * c
+        q = np.floor((p - origin) * inv).astype(np.int64)
+        q = np.clip(q, 0, np.asarray(dims) - 1)
+        surf[q[:, 0], q[:, 1], q[:, 2]] = True
+    # exterior flood fill by iterative dilation from the padded border
+    ext = np.zeros((nx + 2, ny + 2, nz + 2), bool)
+    ext[0, :, :] = ext[-1, :, :] = True
+    ext[:, 0, :] = ext[:, -1, :] = True
+    ext[:, :, 0] = ext[:, :, -1] = True
+    blocked = np.zeros_like(ext)
+    blocked[1:-1, 1:-1, 1:-1] = surf
+    while True:
+        grown = ext.copy()
+        grown[1:, :, :] |= ext[:-1, :, :]
+        grown[:-1, :, :] |= ext[1:, :, :]
+        grown[:, 1:, :] |= ext[:, :-1, :]
+        grown[:, :-1, :] |= ext[:, 1:, :]
+        grown[:, :, 1:] |= ext[:, :, :-1]
+        grown[:, :, :-1] |= ext[:, :, 1:]
+        grown &= ~blocked
+        grown |= ext
+        if bool((grown == ext).all()):
+            break
+        ext = grown
+    return ~ext[1:-1, 1:-1, 1:-1]
+
+
+def _py_best_plane(occ, pd, min_voxels, alpha, axis_filter=-1,
+                   c_lo=0, c_hi=0):
+    """numpy mirror of ``avt_best_plane``. Returns (axis, cut, cost) or
+    None."""
+    d = occ.shape
+    cells = np.argwhere(occ)
+    if cells.shape[0] == 0:
+        return None
+    proj = cells @ _DIRS.T  # [m, 13]
+    vol = int(np.prod(d))
+    stride = 2 if vol > (512 << 10) else 1
+    gx, gy, gz = np.meshgrid(
+        np.arange(0, d[0], stride), np.arange(0, d[1], stride),
+        np.arange(0, d[2], stride), indexing="ij",
+    )
+    allcells = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=-1)
+    allproj = allcells @ _DIRS.T  # [vol, 13]
+    scale = float(stride**3)
+    best = None
+    pd = max(1, int(pd))
+    for axis in range(3):
+        if d[axis] < 2:
+            continue
+        if axis_filter >= 0 and axis != axis_filter:
+            continue
+        if axis_filter >= 0:
+            cands = range(max(1, c_lo), min(d[axis] - 1, c_hi) + 1)
+        else:
+            cands = range(1, d[axis], pd)
+        for c in cands:
+            left = cells[:, axis] < c
+            nl = int(left.sum())
+            nr = cells.shape[0] - nl
+            if nl < min_voxels or nr < min_voxels:
+                continue
+            mnL, mxL = proj[left].min(0), proj[left].max(0)
+            mnR, mxR = proj[~left].min(0), proj[~left].max(0)
+            cl = int(((allproj >= mnL) & (allproj <= mxL)).all(1).sum())
+            cr = int(((allproj >= mnR) & (allproj <= mxR)).all(1).sum())
+            cost = scale * (cl + cr) + alpha * abs(nl - nr)
+            if best is None or cost < best[2]:
+                best = (axis, c, cost)
+    return best
+
+
+def _best_plane_once(occ, pd, min_voxels, alpha, axis_filter=-1,
+                     c_lo=0, c_hi=0):
+    lib = _lib()
+    if lib is None:
+        return _py_best_plane(occ, pd, min_voxels, alpha, axis_filter,
+                              c_lo, c_hi)
+    g = np.ascontiguousarray(occ.astype(np.uint8))
+    ld = np.asarray(g.shape, np.int32)
+    out = np.full(2, -1, np.int32)
+    cost = lib.avt_best_plane(
+        _ptr(g.reshape(-1), ctypes.c_uint8), _ptr(ld, ctypes.c_int32),
+        int(pd), int(min_voxels), ctypes.c_float(alpha),
+        int(axis_filter), int(c_lo), int(c_hi),
+        _ptr(out, ctypes.c_int32),
+    )
+    if cost < 0 or out[0] < 0:
+        return None
+    return int(out[0]), int(out[1]), float(cost)
+
+
+def _best_plane(occ, pd, min_voxels, alpha):
+    """Coarse scan at stride ``pd``, then a stride-1 refinement around
+    the winner (VHACD's plane_downsampling refinement)."""
+    got = _best_plane_once(occ, pd, min_voxels, alpha)
+    if got is None or pd <= 1:
+        return got
+    axis, c, _ = got
+    fine = _best_plane_once(
+        occ, 1, min_voxels, alpha, axis_filter=axis,
+        c_lo=c - pd + 1, c_hi=c + pd - 1,
+    )
+    return fine if fine is not None else got
+
+
+# ---------------------------------------------------------------------------
+# decomposition driver (exact-hull accept test, greedy worst-part split)
+# ---------------------------------------------------------------------------
+
+def _surface_mask(mask):
+    """Occupied cells with at least one empty 6-neighbor (grid edges count
+    as empty)."""
+    pad = np.pad(mask, 1, constant_values=False)
+    solid_nb = (
+        pad[:-2, 1:-1, 1:-1] & pad[2:, 1:-1, 1:-1]
+        & pad[1:-1, :-2, 1:-1] & pad[1:-1, 2:, 1:-1]
+        & pad[1:-1, 1:-1, :-2] & pad[1:-1, 1:-1, 2:]
+    )
+    return mask & ~solid_nb
+
+
+def _concavity_gap(mask):
+    """(hull_volume - voxel_volume, hull_volume) of a voxel set, in voxel
+    units. The hull is qhull over the surface voxels' *centers* and the
+    voxel volume counts surface voxels at half weight — both shrink the
+    jagged boundary band by the same half-voxel so a voxelized convex
+    solid measures near-zero concavity (VHACD achieves the same with
+    partial surface-voxel volumes)."""
+    from scipy.spatial import ConvexHull
+    from scipy.spatial import QhullError
+
+    surf = _surface_mask(mask)
+    n_surf = float(surf.sum())
+    voxvol = float(mask.sum()) - 0.5 * n_surf
+    centers = np.argwhere(surf).astype(np.float64) + 0.5
+    try:
+        hv = float(ConvexHull(centers).volume)
+    except (QhullError, ValueError):
+        hv = voxvol
+    hv = max(hv, 1.0)
+    return max(0.0, hv - voxvol), hv
+
+
+def decompose_labels(grid, max_parts=64, concavity=0.05,
+                     plane_downsampling=4, min_voxels=4, alpha=0.05):
+    """Split a solid voxel grid into approximately-convex parts.
+
+    Greedy loop: repeatedly split the part with the largest hull-vs-voxel
+    volume gap until every part's relative concavity
+    ``(hull_vol - voxel_count) / hull_vol`` is within ``concavity`` or
+    ``max_parts`` is reached. Parameter names mirror the reference's
+    ``VhacdParameters`` (``parry/mod.rs:37-108``); the default concavity
+    is looser than VHACD's 0.01 because a voxelized convex solid already
+    carries O(voxel) hull-vs-grid error at resolution 64.
+
+    Returns ``(n_parts, labels int32[nx,ny,nz])`` with -1 on empty cells.
+    """
+    grid = np.asarray(grid, bool)
+    labels = np.full(grid.shape, -1, np.int32)
+    if not grid.any():
+        return 0, labels
+    parts = [grid.copy()]
+    final = [False]
+    gaps = [None]  # absolute hull-vs-voxel gap, lazily computed
+
+    def measure(i):
+        if gaps[i] is None:
+            gaps[i] = _concavity_gap(parts[i])
+        return gaps[i]
+
+    while len(parts) < max_parts:
+        worst, worst_gap = -1, 0.0
+        for i in range(len(parts)):
+            if final[i]:
+                continue
+            cnt = int(parts[i].sum())
+            gap, hv = measure(i)
+            if cnt < 2 * min_voxels or gap / hv <= concavity:
+                final[i] = True
+                continue
+            if gap > worst_gap:
+                worst, worst_gap = i, gap
+        if worst < 0:
+            break
+        mask = parts[worst]
+        xs, ys, zs = np.nonzero(mask)
+        lo = (int(xs.min()), int(ys.min()), int(zs.min()))
+        hi = (int(xs.max()), int(ys.max()), int(zs.max()))
+        occ = mask[lo[0]:hi[0] + 1, lo[1]:hi[1] + 1, lo[2]:hi[2] + 1]
+        got = _best_plane(occ, plane_downsampling, min_voxels, alpha)
+        if got is None:
+            final[worst] = True
+            continue
+        axis, cut, _ = got
+        coords = np.arange(grid.shape[axis]).reshape(
+            [-1 if a == axis else 1 for a in range(3)]
+        )
+        side = (coords - lo[axis]) < cut
+        a = mask & side
+        b = mask & ~side
+        parts[worst] = a
+        gaps[worst] = None
+        parts.append(b)
+        final.append(False)
+        gaps.append(None)
+    for i, p in enumerate(parts):
+        labels[p] = i
+    return len(parts), labels
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+def voxelize_mesh(vertices, faces, resolution=64):
+    """Voxelize a triangle mesh into a solid occupancy grid.
+
+    Returns ``(grid bool[nx,ny,nz], origin float32[3], voxel_size)``.
+    Grid resolution is ``resolution`` cells along the longest AABB axis
+    (the reference's ``VhacdParameters.resolution`` default is 64,
+    ``parry/mod.rs:53-55,88``), padded by one empty cell on every side so
+    the exterior flood fill can reach around the mesh.
+    """
+    V = np.ascontiguousarray(vertices, np.float32).reshape(-1, 3)
+    F = np.ascontiguousarray(faces, np.int32).reshape(-1, 3)
+    lo = V.min(axis=0)
+    hi = V.max(axis=0)
+    extent = float((hi - lo).max())
+    if extent <= 0:
+        raise ValueError("degenerate mesh (zero extent)")
+    voxel = extent / float(resolution)
+    # Half-voxel offset: meshes commonly have faces at round coordinates;
+    # landing them mid-cell instead of on cell boundaries keeps the
+    # rasterization deterministic (no float knife-edge between two cells)
+    # and the voxel solid crisp.
+    origin = (lo - 1.5 * voxel).astype(np.float32)
+    dims = np.minimum(
+        np.ceil((hi - origin) / voxel).astype(np.int32) + 1,
+        resolution + 3,
+    ).astype(np.int32)
+    lib = _lib()
+    if lib is not None:
+        out = np.zeros(int(dims.prod()), np.uint8)
+        lib.avt_voxelize(
+            _ptr(V, ctypes.c_float), V.shape[0],
+            _ptr(F, ctypes.c_int32), F.shape[0],
+            _ptr(dims, ctypes.c_int32), _ptr(origin, ctypes.c_float),
+            ctypes.c_float(voxel), _ptr(out, ctypes.c_uint8),
+        )
+        grid = out.reshape(tuple(dims)).astype(bool)
+    else:
+        grid = _py_voxelize(V, F, tuple(int(x) for x in dims), origin, voxel)
+    return grid, origin, float(voxel)
+
+
+def decompose_mesh(vertices, faces, resolution=64, max_parts=64,
+                   concavity=0.05, plane_downsampling=4, min_voxels=4,
+                   alpha=0.05):
+    """Approximate convex decomposition of a triangle mesh.
+
+    Counterpart of ``Collider::convex_decomposition``
+    (``/root/reference/src/collision/collider/parry/mod.rs:962-990``).
+    Returns a list of per-part point clouds (float32[K,3], voxel corner
+    points in mesh frame) suitable for ``SceneBuilder.convex_hull``.
+    """
+    grid, origin, voxel = voxelize_mesh(vertices, faces, resolution)
+    n, labels = decompose_labels(
+        grid, max_parts=max_parts, concavity=concavity,
+        plane_downsampling=plane_downsampling, min_voxels=min_voxels,
+        alpha=alpha,
+    )
+    parts = []
+    for i in range(n):
+        mask = labels == i
+        if not mask.any():
+            continue
+        # corner lattice of the part's surface voxels (hull-equivalent to
+        # using every voxel, far fewer points)
+        cells = np.argwhere(_surface_mask(mask)).astype(np.float32)
+        corners = (
+            cells[:, None, :] + _CORNER_OFFS[None, :, :].astype(np.float32)
+        ).reshape(-1, 3)
+        corners = np.unique(corners, axis=0)
+        parts.append(origin + corners * voxel)
+    return parts

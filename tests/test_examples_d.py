@@ -8,7 +8,8 @@ import pytest
 from example_runner import all_examples, run_example
 
 EXAMPLES = [
-    'batched_rollout_2d', 'chain_2d', 'custom_collider', 'distance_joint_2d',
+    'batched_rollout_2d', 'chain_2d', 'convex_decomposition_3d',
+    'custom_collider', 'distance_joint_2d',
     'dynamic_character_2d', 'dynamic_character_3d', 'fixed_joint_2d',
     'kinematic_character_2d', 'many_pyramids_2d', 'native_2d_showcase',
     'prismatic_joint_2d', 'revolute_joint_2d',
