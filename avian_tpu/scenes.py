@@ -53,9 +53,14 @@ def cube_pile(
 
 
 def box_pyramid(base: int = 20, half: float = 0.5, dim3_depth: bool = False):
-    """2D-style box pyramid (in the XY plane of a 3D world), the reference's
-    `Large Pyramid` bench scene (``benches/src/dim2/large_pyramid.rs``).
-    base=100 -> 5050 boxes."""
+    """Box pyramid, the reference's `Large Pyramid` bench scene
+    (``benches/src/dim2/large_pyramid.rs``). base=100 -> 5050 boxes.
+
+    ``dim3_depth=False``: 2D profile (Z translation + X/Y rotation
+    locked — avian2d's DIM=2 mode). ``dim3_depth=True``: the same planar
+    layout with fully free 3D cubes — the reference's `Large Pyramid 3D`
+    (``benches/src/dim3/large_pyramid.rs:25-39`` builds the identical
+    single-depth pyramid with unconstrained 3D bodies)."""
     b = SceneBuilder()
     g = b.add_body(body_type=BodyType.STATIC)
     b.half_space(g, normal=(0, 1, 0))
@@ -67,9 +72,13 @@ def box_pyramid(base: int = 20, half: float = 0.5, dim3_depth: bool = False):
         y = half + row * size
         x0 = -0.5 * n_in_row * size
         for i in range(n_in_row):
-            # True 2D profile: Z translation + X/Y rotation locked
-            # (the reference's avian2d DIM=2 mode on shared source).
-            body = b.add_body_2d(pos=(x0 + (i + 0.5) * size, y * 1.0001))
+            p = (x0 + (i + 0.5) * size, y * 1.0001)
+            if dim3_depth:
+                body = b.add_body(pos=(p[0], p[1], 0.0))
+            else:
+                # True 2D profile: Z translation + X/Y rotation locked
+                # (the reference's avian2d DIM=2 mode on shared source).
+                body = b.add_body_2d(pos=p)
             b.box(body, half, half, half, friction=0.6)
             ids.append(body)
             count += 1
@@ -170,10 +179,14 @@ def falling_hinges(rows: int = 30, cols: int = 4, half: float = 0.25):
     return world, ids
 
 
-def many_pyramids(grid: int = 10, base: int = 10, half: float = 0.5):
-    """The reference's `Many Pyramids 2D` bench scene: a ``grid x grid``
-    field of base-``base`` pyramids (10x10x base-10 -> 5500 boxes,
-    ``benches/src/dim2/mod.rs:21-24``), 2D locked-axes profile."""
+def many_pyramids(grid: int = 10, base: int = 10, half: float = 0.5,
+                  dim3: bool = False):
+    """The reference's `Many Pyramids` bench scene: a ``grid x grid``
+    field of base-``base`` pyramids (10x10 x base-10 -> 5500 boxes,
+    ``benches/src/dim2/mod.rs:21-24``). ``dim3=False``: 2D locked-axes
+    profile, pyramids tiled in the XY plane. ``dim3=True``: the 3D
+    variant (``benches/src/dim3/mod.rs:21-24``) — fully free 3D cubes,
+    pyramids tiled over the XZ ground plane."""
     b = SceneBuilder()
     g = b.add_body(body_type=BodyType.STATIC)
     b.half_space(g, normal=(0, 1, 0))
@@ -183,15 +196,18 @@ def many_pyramids(grid: int = 10, base: int = 10, half: float = 0.5):
     for gx in range(grid):
         for gy in range(grid):
             x_off = (gx - grid / 2) * spacing_x
-            y_off = gy * (base * size + 1.0)
+            y_off = 0.0 if dim3 else gy * (base * size + 1.0)
+            z_off = (gy - grid / 2) * 4.0 if dim3 else 0.0
             for row in range(base):
                 n_in_row = base - row
                 y = half + row * size + y_off
                 x0 = x_off - 0.5 * n_in_row * size
                 for i in range(n_in_row):
-                    body = b.add_body_2d(
-                        pos=(x0 + (i + 0.5) * size, y * 1.0001)
-                    )
+                    p = (x0 + (i + 0.5) * size, y * 1.0001)
+                    if dim3:
+                        body = b.add_body(pos=(p[0], p[1], z_off))
+                    else:
+                        body = b.add_body_2d(pos=p)
                     b.box(body, half, half, half, friction=0.6)
                     ids.append(body)
     n = len(ids) + 1

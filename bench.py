@@ -111,6 +111,11 @@ def run_benchmark():
 
         world, ids = many_pyramids(grid=grid, base=10)  # 10x10 -> 5500 boxes
         n_bodies = len(ids)
+    elif scene == "many_pyramids3d":
+        from avian_tpu.scenes import many_pyramids
+
+        world, ids = many_pyramids(grid=grid, base=10, dim3=True)
+        n_bodies = len(ids)
     else:
         world, ids = cube_pile(n_cubes=n_cubes, max_contacts=8 * n_cubes)
         n_bodies = n_cubes
