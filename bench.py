@@ -6,12 +6,14 @@ ALWAYS prints exactly ONE JSON line to stdout and exits 0:
 
 Robustness design (round-3 contract — VERDICT.md item 1): the parent
 process imports NO jax. It runs the actual benchmark in a child process
-with a wall-clock deadline; if the child fails (e.g. the axon TPU tunnel
-is down: "Unable to initialize backend 'axon'", round 2) or hangs at
-backend init, the parent retries on CPU at reduced scale with a scrubbed
-environment (PYTHONPATH='' drops the axon site hook entirely, so a
-wedged tunnel cannot hang the fallback) and reports ``"fallback": true``
-with the original error. Even a double failure still emits the JSON line
+with a phase-aware deadline (see ``_run_child``); if the child fails
+(e.g. the axon TPU tunnel is down: "Unable to initialize backend
+'axon'", round 2) or hangs at backend init, the parent ABANDONS it
+(never signals — killing a live TPU process wedges the tunnel) and
+retries on CPU at reduced scale with a scrubbed environment
+(PYTHONPATH='' drops the axon site hook entirely, so a wedged tunnel
+cannot hang the fallback) and reports ``"fallback": true`` with the
+original error. Even a double failure still emits the JSON line
 (value 0 + error) so the driver always gets a parsed record.
 
 Baseline anchor: the reference's illustrative Large Pyramid 2D number
@@ -41,6 +43,22 @@ BASELINE_BODY_STEPS_PER_SEC = 5050 / 12.29e-3  # ~410,903
 # --------------------------------------------------------------------------
 
 
+def _phase(name):
+    """Progress marker for the parent's phase-aware deadline policy.
+
+    Appends ``<epoch> <name>`` to $BENCH_PHASE_FILE. Host-side file write
+    only — no device interaction, so it cannot perturb the timed region.
+    """
+    path = os.environ.get("BENCH_PHASE_FILE")
+    if not path:
+        return
+    try:
+        with open(path, "a") as f:
+            f.write(f"{time.time():.1f} {name}\n")
+    except OSError:
+        pass
+
+
 def run_benchmark():
     n_cubes = int(os.environ.get("BENCH_CUBES", "10000"))
     n_steps = int(os.environ.get("BENCH_STEPS", "100"))
@@ -52,7 +70,10 @@ def run_benchmark():
     from avian_tpu.utils.cache import enable as enable_cache
 
     enable_cache()
+    _phase("importing_jax")
     import jax
+
+    _phase(f"backend_ready {jax.devices()[0]}")
 
     from avian_tpu import PhysicsConfig
     from avian_tpu.core.types import ShapeType
@@ -165,11 +186,14 @@ def _run_timed(step, check, world, n_bodies, scene, n_steps, warmup,
     # kernel launch (measured: 0.4 ms/step before one float(world.time),
     # 285 ms/step after). All readbacks happen AFTER timing.
     # block_until_ready is safe.
+    _phase("compiling")
     world = step(world)
     jax.block_until_ready(world.bodies.pos)
+    _phase("warmup")
     for _ in range(warmup):
         world = step(world)
     jax.block_until_ready(world.bodies.pos)
+    _phase("timing")
 
     t_before_dev = world.time  # device scalar; read back after timing
     t0 = time.perf_counter()
@@ -258,12 +282,40 @@ def _tail(path, n=12):
     return "\n".join(lines[-n:])
 
 
-def _run_child(env, deadline_s):
+def _last_phase(path):
+    """(epoch, name) of the child's most recent phase marker, or None."""
+    try:
+        with open(path, "r", errors="replace") as f:
+            lines = [ln for ln in f.read().splitlines() if ln.strip()]
+    except OSError:
+        return None
+    if not lines:
+        return None
+    stamp, _, name = lines[-1].partition(" ")
+    try:
+        return float(stamp), name
+    except ValueError:
+        return None
+
+
+def _run_child(env, init_deadline_s, run_deadline_s):
     """Run ``python bench.py --run`` with stdout/stderr to temp files.
 
     Output goes to FILES, not pipes: if the child hangs at backend init
     and is abandoned, no inherited pipe can keep the driver's read on OUR
     stdout blocked after we exit.
+
+    Deadline policy (phase-aware; round-4 fix): the child reports its
+    phase via $BENCH_PHASE_FILE. Before ``backend_ready`` the budget is
+    ``init_deadline_s`` (a wedged axon tunnel blocks backend init ~25 min;
+    don't wait). Once a backend is attached the budget is the generous
+    ``run_deadline_s`` (fresh compiles of big scenes can exceed 10 min).
+    On expiry the child is ABANDONED, never signalled: terminating a live
+    TPU process is what wedged the tunnel in round 2 (memory:
+    axon-tpu-runtime-pitfalls), and an abandoned child that finishes its
+    compile still populates the persistent compile cache for the retry.
+    It is detached (own session, file-only output), so leaving it running
+    cannot block the driver.
 
     Returns (json_obj_or_None, error_string_or_None).
     """
@@ -273,6 +325,12 @@ def _run_child(env, deadline_s):
     err = tempfile.NamedTemporaryFile(
         mode="w", suffix=".err", delete=False
     )
+    phase_f = tempfile.NamedTemporaryFile(
+        mode="w", suffix=".phase", delete=False
+    )
+    phase_f.close()
+    env = dict(env)
+    env["BENCH_PHASE_FILE"] = phase_f.name
     child = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--run"],
         stdout=out,
@@ -284,36 +342,36 @@ def _run_child(env, deadline_s):
     out.close()
     err.close()
     t0 = time.time()
-    while time.time() - t0 < deadline_s:
+    while True:
         rc = child.poll()
         if rc is not None:
             obj = _extract_json(out.name)
             if rc == 0 and obj is not None:
                 return obj, None
             return None, f"child rc={rc}: {_tail(err.name)}"
+        elapsed = time.time() - t0
+        phase = _last_phase(phase_f.name)
+        backend_up = phase is not None and not phase[1].startswith(
+            "importing_jax"
+        )
+        budget = run_deadline_s if backend_up else init_deadline_s
+        if elapsed >= budget:
+            stage = phase[1] if phase else "startup"
+            return None, (
+                f"abandoned after {elapsed:.0f}s in phase '{stage}' "
+                f"(budget {budget:.0f}s; child left running, pid "
+                f"{child.pid}): {_tail(err.name)}"
+            )
         time.sleep(2.0)
-    # Deadline passed: the child is wedged (normal runs finish in
-    # minutes). Terminate it — if it was hung at axon backend init the
-    # tunnel is already unusable, and the CPU fallback runs with the
-    # axon hook dropped from PYTHONPATH so it cannot be affected.
-    try:
-        child.terminate()
-        for _ in range(10):
-            if child.poll() is not None:
-                break
-            time.sleep(1.0)
-        if child.poll() is None:
-            child.kill()
-    except OSError:
-        pass
-    return None, f"child timed out after {deadline_s}s: {_tail(err.name)}"
 
 
 def main():
-    # Measured: a wedged axon tunnel fails backend init only after ~25 min;
-    # don't wait for it — a healthy TPU run finishes well within 10 min.
-    deadline = float(os.environ.get("BENCH_DEADLINE", "600"))
-    result, error = _run_child(dict(os.environ), deadline)
+    # init deadline: a wedged axon tunnel fails backend init only after
+    # ~25 min; don't wait for it. run deadline: once a backend is attached
+    # allow long fresh compiles (pyramid3d measured >600 s uncached).
+    init_deadline = float(os.environ.get("BENCH_DEADLINE", "600"))
+    run_deadline = float(os.environ.get("BENCH_RUN_DEADLINE", "3000"))
+    result, error = _run_child(dict(os.environ), init_deadline, run_deadline)
     if result is not None:
         result["fallback"] = False
         print(json.dumps(result), flush=True)
@@ -332,7 +390,7 @@ def main():
     if "BENCH_CUBES" in os.environ:  # user override keeps its value
         env["BENCH_CUBES"] = os.environ["BENCH_CUBES"]
     cpu_deadline = float(os.environ.get("BENCH_CPU_DEADLINE", "600"))
-    result, cpu_error = _run_child(env, cpu_deadline)
+    result, cpu_error = _run_child(env, cpu_deadline, cpu_deadline)
     if result is not None:
         result["fallback"] = True
         result["error"] = (error or "")[:400]
