@@ -1,12 +1,23 @@
 """Stage-level TPU profile of the flagship 10k-pile step.
 
-Times pipeline *prefixes* (each scanned K times inside one jit, so the
-~1 ms/dispatch cost of this tunneled runtime amortizes away) and reports
-per-stage deltas. No device->host transfer happens before or between
-timed regions (axon dispatch-degradation pitfall); all readbacks are at
-the end.
+Timing protocol (round-4, re-derived after discovering that
+``jax.block_until_ready`` does NOT reliably block on the tunneled axon
+runtime — enqueue-only timings undercount by orders of magnitude):
 
-Usage: python tools/profile_stages.py  [BENCH_CUBES=10000] [PROF_REPS=30]
+1. Every measurement is *forced* by a device->host read of a scalar that
+   data-depends on the measured computation. Only a D2H proves the work
+   ran.
+2. The first D2H permanently degrades this runtime's dispatch path, so we
+   enter degraded mode DELIBERATELY before any timing; after that every
+   measurement carries the same constant per-dispatch overhead.
+3. That constant (plus the D2H cost itself) is cancelled with the slope
+   method: each prefix is timed at scan lengths K1 and K2 inside ONE jit
+   dispatch each; per-step cost = (t(K2) - t(K1)) / (K2 - K1).
+4. Scan iterations are chained through the state (the accumulated scalar
+   is folded into body positions at 1e-38 scale), so XLA cannot hoist the
+   pipeline stages out of the loop as loop-invariant.
+
+Usage: python tools/profile_stages.py  [BENCH_CUBES=10000] [PROF_K1=8 PROF_K2=40]
 """
 
 import os
@@ -34,7 +45,8 @@ from avian_tpu.pipeline.step import physics_step
 from avian_tpu.scenes import cube_pile
 
 N = int(os.environ.get("BENCH_CUBES", "10000"))
-REPS = int(os.environ.get("PROF_REPS", "30"))
+K1 = int(os.environ.get("PROF_K1", "8"))
+K2 = int(os.environ.get("PROF_K2", "40"))
 WARM = int(os.environ.get("BENCH_WARMUP", "60"))
 
 config = PhysicsConfig(
@@ -53,8 +65,9 @@ STAGES = [
 
 
 def prefix_step(world, upto):
-    """Run the pipeline through stage index `upto`; fold a data-dependent
-    scalar into world.time so XLA cannot DCE the tail stage."""
+    """Run the pipeline through stage index `upto`, returning `world`
+    with a data-dependent scalar folded into body positions so that (a)
+    no stage can be DCE'd and (b) consecutive scan iterations chain."""
     acc = jnp.zeros((), jnp.float32)
     w2 = bp_m.update_aabbs(world, config)
     acc += w2.colliders.aabb_min[:, 0].sum()
@@ -95,8 +108,22 @@ def prefix_step(world, upto):
             bodies, contacts2, w2.joints, config
         )
         acc += jnp.sum(bodies.pos)
-    # keep acc alive without changing dynamics
-    return world.replace(time=world.time + 1.0 / 60.0 + acc * 1e-38)
+    # Chain: fold acc into positions at a scale that cannot perturb
+    # dynamics but creates a loop-carried data dependency.
+    bodies = world.bodies.replace(
+        pos=world.bodies.pos + acc * jnp.float32(1e-38)
+    )
+    return world.replace(
+        bodies=bodies, time=world.time + 1.0 / 60.0
+    )
+
+
+def forced(fn, w):
+    """Dispatch fn once and force completion via a scalar D2H."""
+    t0 = time.perf_counter()
+    out = fn(w)
+    _ = float(out.bodies.pos[0, 0])  # scalar D2H: proves execution
+    return time.perf_counter() - t0
 
 
 def main():
@@ -108,46 +135,54 @@ def main():
     jax.block_until_ready(world.bodies.pos)
     for _ in range(WARM):
         world = step(world)
-    jax.block_until_ready(world.bodies.pos)
 
-    fns = []
+    # Deliberately enter degraded-dispatch mode before ANY timing so all
+    # measurements share the same per-dispatch constant (slope cancels it).
+    _ = float(world.bodies.pos[0, 0])
+    print(f"device={jax.devices()[0]} N={N} K1={K1} K2={K2} substeps=4",
+          flush=True)
+
+    def make(upto, k):
+        @jax.jit
+        def many(w):
+            def body(w, _):
+                return prefix_step(w, upto), None
+            return jax.lax.scan(body, w, None, length=k)[0]
+        return many
+
+    rows = []
     for upto in range(len(STAGES)):
-        def make(upto):
-            @jax.jit
-            def many(w):
-                def body(w, _):
-                    return prefix_step(w, upto), None
-                return jax.lax.scan(body, w, None, length=REPS)[0]
-            return many
-        fns.append(make(upto))
+        f1, f2 = make(upto, K1), make(upto, K2)
+        forced(f1, world)  # compile + one throwaway
+        forced(f2, world)
+        t1, t2 = forced(f1, world), forced(f2, world)
+        ms = (t2 - t1) / (K2 - K1) * 1e3
+        rows.append(ms)
+        print(f"{STAGES[upto]:>12}: cum {ms:8.3f} ms/step   "
+              f"(t{K1}={t1:6.3f}s t{K2}={t2:6.3f}s)", flush=True)
 
-    # compile everything first (compile time must not pollute timing)
-    for f in fns:
-        jax.block_until_ready(f(world).bodies.pos)
-    full = jax.jit(
-        lambda w: jax.lax.scan(
-            lambda w, _: (step(w), None), w, None, length=REPS
+    @jax.jit
+    def full1(w):
+        return jax.lax.scan(
+            lambda w, _: (physics_step(w, config), None), w, None, length=K1
         )[0]
-    )
-    jax.block_until_ready(full(world).bodies.pos)
 
-    times = []
-    for f in fns:
-        t0 = time.perf_counter()
-        out = f(world)
-        jax.block_until_ready(out.bodies.pos)
-        times.append((time.perf_counter() - t0) / REPS * 1e3)
-    t0 = time.perf_counter()
-    out = full(world)
-    jax.block_until_ready(out.bodies.pos)
-    t_full = (time.perf_counter() - t0) / REPS * 1e3
+    @jax.jit
+    def full2(w):
+        return jax.lax.scan(
+            lambda w, _: (physics_step(w, config), None), w, None, length=K2
+        )[0]
 
-    print(f"device={jax.devices()[0]} N={N} reps={REPS} substeps=4")
+    forced(full1, world)
+    forced(full2, world)
+    t1, t2 = forced(full1, world), forced(full2, world)
+    ms = (t2 - t1) / (K2 - K1) * 1e3
+    print(f"{'FULL STEP':>12}: {ms:8.3f} ms/step   "
+          f"(t{K1}={t1:6.3f}s t{K2}={t2:6.3f}s)")
     prev = 0.0
-    for name, t in zip(STAGES, times):
-        print(f"{name:>12}: cum {t:7.3f} ms  delta {t - prev:7.3f} ms")
+    for name, t in zip(STAGES, rows):
+        print(f"{name:>12}: delta {t - prev:8.3f} ms")
         prev = t
-    print(f"{'FULL STEP':>12}: {t_full:7.3f} ms")
 
 
 if __name__ == "__main__":
