@@ -86,6 +86,14 @@ class PhysicsConfig:
     sleep_angular_threshold: float = 0.15
     time_to_sleep: float = 0.5
     sleeping_enabled: bool = True
+    # All-asleep early-out: when every active dynamic body sleeps (and no
+    # kinematic body moves, no sleeping body was teleported), the whole
+    # step short-circuits through a lax.cond — the TPU analogue of the
+    # reference popping sleeping islands' constraints and doing no work
+    # for them (``islands/sleeping.rs:355-426``). Under vmap the cond
+    # lowers to a select (no savings, no extra cost beyond one cheap
+    # predicate).
+    sleep_early_out: bool = True
     # Swept CCD pass for bodies flagged ``swept_ccd`` (SweptCcd component,
     # ``ccd/mod.rs:389-419``). Off by default like the reference; speculative
     # contacts are always on.

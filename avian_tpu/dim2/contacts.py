@@ -80,12 +80,27 @@ def narrow_phase(
     anchor_b = p_b - com_b[:, None, :]
 
     # ---- pair persistence ----------------------------------------------
-    old_order = jnp.argsort(old.pair_key)
-    old_keys_sorted = old.pair_key[old_order]
-    loc = jnp.searchsorted(old_keys_sorted, bp.pair_key)
-    loc = jnp.clip(loc, 0, c_cap - 1)
-    old_slot = old_order[loc]
-    matched = (old.pair_key[old_slot] == bp.pair_key) & (bp.pair_key >= 0)
+    # Sort-merge join: one stable sort of [old keys ++ new keys] answers
+    # both the persistence match and the eviction reverse-match (see the
+    # 3D twin in pipeline/contacts.py; replaces two ~17-round searchsorted
+    # chains at ~0.25-0.5 ms per dependent gather round).
+    karr = jnp.concatenate([old.pair_key, bp.pair_key])
+    s = jnp.argsort(karr, stable=True).astype(jnp.int32)
+    ks = karr[s]
+    key_ok = ks >= 0
+    same_prev = jnp.concatenate([jnp.zeros((1,), bool), ks[1:] == ks[:-1]])
+    tag_s = s >= c_cap            # True = new entry
+    src_s = jnp.where(tag_s, s - c_cap, s)
+    prev_old = jnp.concatenate([jnp.zeros((1,), bool), ~tag_s[:-1]])
+    m_new = tag_s & same_prev & prev_old & key_ok
+    prev_src = jnp.concatenate([jnp.zeros((1,), jnp.int32), src_s[:-1]])
+    hit = (
+        jnp.zeros((c_cap,), jnp.int32)
+        .at[jnp.where(tag_s, src_s, c_cap)]
+        .set(jnp.where(m_new, prev_src + 1, 0), mode="drop")
+    )
+    matched = hit > 0
+    old_slot = jnp.maximum(hit - 1, 0)
 
     was_touching = jnp.where(matched, old.touching[old_slot], False)
     carried_color = jnp.where(matched, old.color[old_slot], -1)
@@ -147,13 +162,17 @@ def narrow_phase(
     is_sensor = col.is_sensor[ca] | col.is_sensor[cb]
 
     # ---- CollisionEnd on eviction ---------------------------------------
-    big = jnp.iinfo(jnp.int32).max
-    new_keys_sorted = jnp.sort(jnp.where(bp.valid, bp.pair_key, big))
-    loc_e = jnp.clip(
-        jnp.searchsorted(new_keys_sorted, old.pair_key), 0, c_cap - 1
+    # Rides the persistence join's sorted array: an old entry survives iff
+    # the next entry is a new entry with the same key.
+    next_same = jnp.concatenate([same_prev[1:], jnp.zeros((1,), bool)])
+    next_new = jnp.concatenate([tag_s[1:], jnp.zeros((1,), bool)])
+    m_old_survives = ~tag_s & next_same & next_new & key_ok
+    survives = (
+        jnp.zeros((c_cap,), bool)
+        .at[jnp.where(~tag_s, src_s, c_cap)]
+        .set(m_old_survives, mode="drop")
     )
-    still_tracked = new_keys_sorted[loc_e] == old.pair_key
-    evicted = old.active & old.touching & ~still_tracked
+    evicted = old.active & old.touching & ~survives
 
     return Contacts2D(
         pair_key=bp.pair_key,

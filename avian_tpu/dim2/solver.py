@@ -295,9 +295,18 @@ def warm_start(s: SolverState2D, con: ContactConstraints2D, config):
 
     st = _pack(s)
     z3 = jnp.zeros((d_a.shape[0], 3), jnp.float32)
-    st = (
-        st.at[con.bucket_a.reshape(-1)].add(jnp.concatenate([d_a, z3], -1))
-        .at[con.bucket_b.reshape(-1)].add(jnp.concatenate([d_b, z3], -1))
+    # ONE fused scatter-add over both constraint sides (memop discipline).
+    ab = jnp.concatenate(
+        [con.bucket_a.reshape(-1), con.bucket_b.reshape(-1)]
+    )
+    st = st.at[ab].add(
+        jnp.concatenate(
+            [
+                jnp.concatenate([d_a, z3], -1),
+                jnp.concatenate([d_b, z3], -1),
+            ],
+            axis=0,
+        )
     )
     return _unpack(s, st)
 
@@ -334,8 +343,14 @@ def solve_pass(
 
 def _solve_bucket(state, d, irows, a, b, relax, h, use_bias,
                   max_overlap_speed, stiction_t2):
-    sa = state[a]
-    sb_ = state[b]
+    # ONE gather + ONE scatter per color round (both sides concatenated):
+    # dependent-memop latency, not element count, is the cost on this
+    # runtime (see pipeline/solver.py and BASELINE.md round-5 cost model).
+    cap = a.shape[0]
+    ab = jnp.concatenate([a, b])
+    sab = state[ab]
+    sa = sab[:cap]
+    sb_ = sab[cap:]
     va, wa = sa[:, 0:2], sa[:, 2]
     vb, wb = sb_[:, 0:2], sb_[:, 2]
     dth_a = sa[:, 5]
@@ -434,11 +449,14 @@ def _solve_bucket(state, d, irows, a, b, relax, h, use_bias,
         [np_new, jnp.stack(tp_new, -1), total_new], axis=-1
     )
     z3 = jnp.zeros((d_va.shape[0], 3), jnp.float32)
-    state = (
-        state.at[a].add(
-            jnp.concatenate([d_va, d_wa[:, None], z3], -1)
+    state = state.at[ab].add(
+        jnp.concatenate(
+            [
+                jnp.concatenate([d_va, d_wa[:, None], z3], -1),
+                jnp.concatenate([d_vb, d_wb[:, None], z3], -1),
+            ],
+            axis=0,
         )
-        .at[b].add(jnp.concatenate([d_vb, d_wb[:, None], z3], -1))
     )
     return state, new_irows
 
@@ -464,8 +482,11 @@ def solve_restitution(
 
 def _restitution_bucket(st, d, irows, a, b, relax, threshold):
     vmask = (d[:, _RESTITUTION] > 0.0).astype(jnp.float32)
-    sa = st[a]
-    sb_ = st[b]
+    cap = a.shape[0]
+    ab = jnp.concatenate([a, b])
+    sab = st[ab]
+    sa = sab[:cap]
+    sb_ = sab[cap:]
     va, wa = sa[:, 0:2], sa[:, 2]
     vb, wb = sb_[:, 0:2], sb_[:, 2]
     n = d[:, _N:_N + 2]
@@ -510,16 +531,17 @@ def _restitution_bucket(st, d, irows, a, b, relax, threshold):
         [jnp.stack(np_new, -1), irows[:, 2:4], jnp.stack(total_new, -1)],
         axis=-1,
     )
-    st = (
-        st.at[a].add(
-            jnp.concatenate(
-                [d_va, d_wa[:, None], jnp.zeros((d_va.shape[0], 3))], -1
-            )
-        )
-        .at[b].add(
-            jnp.concatenate(
-                [d_vb, d_wb[:, None], jnp.zeros((d_vb.shape[0], 3))], -1
-            )
+    st = st.at[ab].add(
+        jnp.concatenate(
+            [
+                jnp.concatenate(
+                    [d_va, d_wa[:, None], jnp.zeros((d_va.shape[0], 3))], -1
+                ),
+                jnp.concatenate(
+                    [d_vb, d_wb[:, None], jnp.zeros((d_vb.shape[0], 3))], -1
+                ),
+            ],
+            axis=0,
         )
     )
     return st, new_irows

@@ -125,20 +125,28 @@ def _py_voxelize(V, F, dims, origin, voxel):
     nx, ny, nz = dims
     surf = np.zeros((nx, ny, nz), bool)
     inv = 1.0 / voxel
+    # All arithmetic deliberately float32 to mirror decomp.cpp bit-for-bit
+    # (the parity test asserts exact grid equality; float64 here can flip
+    # `ns` or a floor-cell on knife-edge meshes).
+    inv = np.float32(inv)
     for tri in F:
-        a, b, c = V[tri[0]], V[tri[1]], V[tri[2]]
-        m = max(
+        a, b, c = (
+            V[tri[0]].astype(np.float32),
+            V[tri[1]].astype(np.float32),
+            V[tri[2]].astype(np.float32),
+        )
+        m = np.float32(max(
             np.linalg.norm(b - a), np.linalg.norm(c - a),
             np.linalg.norm(c - b),
-        )
-        ns = max(1, int(np.ceil(m * inv * 2.0)))
+        ))
+        ns = max(1, int(np.ceil(np.float32(m * inv * np.float32(2.0)))))
         ii, jj = np.meshgrid(np.arange(ns + 1), np.arange(ns + 1),
                              indexing="ij")
         keep = (ii + jj) <= ns
-        u = (ii[keep] / ns)[:, None]
-        v = (jj[keep] / ns)[:, None]
-        p = (1.0 - u - v) * a + u * b + v * c
-        q = np.floor((p - origin) * inv).astype(np.int64)
+        u = (ii[keep] / np.float32(ns)).astype(np.float32)[:, None]
+        v = (jj[keep] / np.float32(ns)).astype(np.float32)[:, None]
+        p = (np.float32(1.0) - u - v) * a + u * b + v * c
+        q = np.floor((p - origin.astype(np.float32)) * inv).astype(np.int64)
         q = np.clip(q, 0, np.asarray(dims) - 1)
         surf[q[:, 0], q[:, 1], q[:, 2]] = True
     # exterior flood fill by iterative dilation from the padded border

@@ -162,7 +162,10 @@ def partition_spatial(
     for i, r in zip(dyn_idx, roots):
         cent.setdefault(r, []).append(coord[i])
     cent = {r: float(np.mean(v)) for r, v in cent.items()}
-    order = np.lexsort((dyn_idx, [cent[r] for r in roots]))
+    # roots in the key: two clusters with EQUAL centroids must still sort
+    # contiguously, or the greedy chunker below splits one across a slab
+    # boundary and build_joints' co-location assert trips.
+    order = np.lexsort((dyn_idx, roots, [cent[r] for r in roots]))
     sorted_bodies = dyn_idx[order]
     sorted_roots = roots[order]
 

@@ -160,11 +160,59 @@ def _pair_filters(world: World, ca, cb):
     return both_active & diff_body & layers_ok & some_dynamic & ~joint_disabled
 
 
+def _select_bit(bits, r):
+    """Position of the ``r``-th (0-based) set bit of ``bits`` (u32).
+
+    Binary search over popcounts of widening low masks: 5 elementwise
+    rounds, no gathers. Undefined (returns 32-ish) if r >= popcount."""
+    pos = jnp.zeros_like(r)
+    for width in (16, 8, 4, 2, 1):
+        low = jnp.uint32((1 << width) - 1)
+        mask = low << pos.astype(jnp.uint32)
+        c = jax.lax.population_count(bits & mask).astype(jnp.int32)
+        take_high = r >= c
+        r = jnp.where(take_high, r - c, r)
+        pos = jnp.where(take_high, pos + width, pos)
+    return pos
+
+
 def broad_phase(world: World, config: PhysicsConfig) -> BroadPhaseResult:
+    """Grid cell-list broadphase, compact-then-gather formulation.
+
+    Round-5 hot-path redesign (evidence: tools/profile_broadphase.py,
+    BASELINE.md round-5 table — the round-4 window-gather formulation spent
+    226 ms/step in per-candidate ``_pair_filters`` gathers and 48 ms in
+    scatter compaction at 10k colliders). The cell-list *algorithm* is
+    unchanged (complete by construction, canonical-cell dedup, loud
+    overflow); the *dataflow* is rebuilt around one fact this runtime's
+    microbenchmarks established: random gathers cost ~5-8 ns per element
+    while contiguous slices and elementwise ops are ~free. So:
+
+    1. per-collider fields (AABB, min-cell, body, layers, dynamic flag) are
+       packed into TWO tables and gathered ONCE into sorted-entry order
+       ([8m] rows instead of [8m*w] candidates),
+    2. every window access ``x[i + k]`` over the cell-sorted entry order is
+       a static SHIFT (contiguous slice) of a sorted-entry array — zero
+       gathers in the O(8m*w) candidate sweep, which becomes pure
+       elementwise work producing a per-entry u32 candidate BITMASK,
+    3. compaction is output-driven: per-entry popcounts -> exclusive prefix
+       sum -> a cummax run-expansion maps each OUTPUT slot back to its
+       (entry, k) via the r-th-set-bit of the entry's bitmask — the only
+       per-candidate-scale op left is one [8m] cumsum,
+    4. the joint-disabled probe runs on the C compacted pairs, not on the
+       2.7M candidates.
+    """
     col = world.colliders
+    b = world.bodies
     m = col.capacity
     c_cap = world.contacts.capacity
-    w = min(config.sap_window, max(m - 1, 1))
+    n_e = 8 * m
+    w = min(config.sap_window, max(n_e - 1, 1))
+    if w > 32:
+        raise ValueError(
+            f"sap_window={config.sap_window} > 32: the candidate bitmask "
+            "is one u32 per grid entry"
+        )
 
     ext_c = jnp.max(col.aabb_max - col.aabb_min, axis=-1)
     is_plane = ext_c > shapes.BIG
@@ -183,6 +231,10 @@ def broad_phase(world: World, config: PhysicsConfig) -> BroadPhaseResult:
     is_big = finite & (ext_c > 4.0 * jnp.maximum(median_ext, 1e-6))
     is_global = is_plane | is_big
     in_sweep = col.active & ~is_global
+
+    # ---- per-collider filter fields (elementwise / [m]-sized gathers) ---
+    body = col.body_idx
+    dyn = (b.body_type[body] == types.BodyType.DYNAMIC) & b.active[body]
 
     # ---- uniform-grid cell list ----------------------------------------
     # Cell size = largest in-grid AABB extent -> every AABB spans <= 2
@@ -208,39 +260,76 @@ def broad_phase(world: World, config: PhysicsConfig) -> BroadPhaseResult:
     order = jnp.argsort(ckey.reshape(-1), stable=True)  # [8m]
     skey = ckey.reshape(-1)[order]
     scol = (order // 8).astype(jnp.int32)  # collider id per sorted entry
-    n_e = 8 * m
 
-    # Window over following entries of the SAME cell. Runs longer than the
-    # window are detected below and surfaced through `dropped`.
-    i2 = jnp.arange(n_e)[:, None]                     # [8m, 1]
-    k2 = jnp.arange(1, w + 1)[None, :]                # [1, w]
-    jdx = jnp.minimum(i2 + k2, n_e - 1)               # [8m, w]
-    win_a = jnp.broadcast_to(scol[:, None], (n_e, w))
-    win_b = scol[jdx]
-    same_cell = (skey[jdx] == skey[:, None]) & (skey[:, None] != sentinel)
-    overlap = jnp.all(
-        (col.aabb_min[win_b] <= col.aabb_max[win_a])
-        & (col.aabb_min[win_a] <= col.aabb_max[win_b]),
+    # ---- ONE gather into sorted-entry order ------------------------------
+    # f32 pack: aabb_min(3), aabb_max(3). i32 pack: i0(3), body, members,
+    # filter, dyn.
+    fpack = jnp.concatenate([col.aabb_min, col.aabb_max], axis=-1)  # [m, 6]
+    ipack = jnp.concatenate(
+        [
+            i0,
+            body[:, None],
+            col.layer_members[:, None],
+            col.layer_filter[:, None],
+            dyn[:, None].astype(jnp.int32),
+        ],
         axis=-1,
-    )
-    # Canonical-cell emission: accept the pair only in the cell containing
-    # max(aabb_min_a, aabb_min_b) so each pair is emitted exactly once.
-    # floor is monotone, so that cell is just the per-axis max of the two
-    # colliders' min-cells — and for overlapping AABBs it is always a
-    # shared cell (amin_b <= amax_a per axis implies i0_b <= i1_a).
-    canon = jnp.maximum(i0[win_a], i0[win_b])
-    canon_key = (
-        ((canon[..., 0] & 1023) << 20)
-        | ((canon[..., 1] & 1023) << 10)
-        | (canon[..., 2] & 1023)
-    )
-    win_ok = (
-        (i2 + k2 < n_e)
-        & same_cell
-        & (win_a != win_b)
-        & overlap
-        & (canon_key == skey[:, None])
-    )
+    )  # [m, 7]
+    sf = fpack[scol]          # [8m, 6]
+    si = ipack[scol]          # [8m, 7]
+
+    # ---- window sweep as static shifts ----------------------------------
+    # Pad so column k is the contiguous slice [k : k + n_e]. Sentinel pads
+    # guarantee same_cell is False past the end.
+    inf6 = jnp.asarray([jnp.inf] * 3 + [-jnp.inf] * 3, jnp.float32)
+    spad_key = jnp.concatenate([skey, jnp.full((w,), sentinel, jnp.int32)])
+    spad_f = jnp.concatenate([sf, jnp.broadcast_to(inf6, (w, 6))])
+    spad_i = jnp.concatenate([si, jnp.zeros((w, 7), jnp.int32)])
+
+    a_min = sf[:, 0:3]
+    a_max = sf[:, 3:6]
+    a_i0 = si[:, 0:3]
+    a_body = si[:, 3]
+    a_mem = si[:, 4]
+    a_fil = si[:, 5]
+    a_dyn = si[:, 6]
+
+    bits = jnp.zeros((n_e,), jnp.uint32)
+    for k in range(1, w + 1):
+        b_key = spad_key[k:k + n_e]
+        b_f = spad_f[k:k + n_e]
+        b_i = spad_i[k:k + n_e]
+        same_cell = (b_key == skey) & (skey != sentinel)
+        overlap = jnp.all(
+            (b_f[:, 0:3] <= a_max) & (a_min <= b_f[:, 3:6]), axis=-1
+        )
+        # Canonical-cell emission: accept the pair only in the cell
+        # containing max(aabb_min_a, aabb_min_b) so each pair is emitted
+        # exactly once. floor is monotone, so that cell is the per-axis max
+        # of the two colliders' min-cells — for overlapping AABBs always a
+        # shared cell (amin_b <= amax_a per axis implies i0_b <= i1_a).
+        canon = jnp.maximum(a_i0, b_i[:, 0:3])
+        canon_key = (
+            ((canon[:, 0] & 1023) << 20)
+            | ((canon[:, 1] & 1023) << 10)
+            | (canon[:, 2] & 1023)
+        )
+        # Pair filters, elementwise between sorted-entry fields and their
+        # shifts (was: 10 gathers per candidate row — 226 ms/step at 10k).
+        diff_body = a_body != b_i[:, 3]
+        # != 0, not > 0: the masks ride the i32 ipack, where a full
+        # 0xFFFFFFFF layer mask is -1.
+        layers_ok = ((a_mem & b_i[:, 5]) != 0) & ((b_i[:, 4] & a_fil) != 0)
+        some_dyn = (a_dyn | b_i[:, 6]) > 0
+        ok_k = (
+            same_cell
+            & (canon_key == skey)
+            & overlap
+            & diff_body
+            & layers_ok
+            & some_dyn
+        )
+        bits = bits | (ok_k.astype(jnp.uint32) << (k - 1))
 
     # Window-overflow detection: an entry whose rank within its cell run
     # exceeds the window may have missed a predecessor pair.
@@ -255,6 +344,28 @@ def broad_phase(world: World, config: PhysicsConfig) -> BroadPhaseResult:
         ((rank > w) & (skey != sentinel)).astype(jnp.int32)
     )
 
+    # ---- output-driven compaction of grid candidates --------------------
+    cnt = jax.lax.population_count(bits).astype(jnp.int32)       # [8m]
+    ends = jnp.cumsum(cnt)
+    offsets = ends - cnt                                          # exclusive
+    total_grid = ends[-1]
+    # Run expansion: mark each producing entry's first output slot, then
+    # cummax fills the run. Entries with cnt == 0 never mark, and offsets
+    # of producing entries are strictly increasing, so marks are unique.
+    mark_slot = jnp.where(cnt > 0, offsets, c_cap)
+    mark = (
+        jnp.full((c_cap,), -1, jnp.int32)
+        .at[mark_slot]
+        .max(jnp.arange(n_e, dtype=jnp.int32), mode="drop")
+    )
+    entry_of = jax.lax.cummax(mark)                               # [c_cap]
+    grid_got = (entry_of >= 0) & (jnp.arange(c_cap) < total_grid)
+    e_safe = jnp.maximum(entry_of, 0)
+    r = jnp.arange(c_cap) - offsets[e_safe]
+    k_of = _select_bit(bits[e_safe], r) + 1
+    ga = scol[e_safe]
+    gb = scol[jnp.minimum(e_safe + k_of, n_e - 1)]
+
     # ---- dense pass vs global colliders (planes), vectorized [G, m] ----
     g_cap = min(MAX_GLOBALS, m)
     g_score = jnp.where(is_global & col.active, 1, 0)
@@ -264,27 +375,66 @@ def broad_phase(world: World, config: PhysicsConfig) -> BroadPhaseResult:
     # pass — count them into `dropped` so the failure is loud.
     global_overflow = jnp.maximum(jnp.sum(g_score) - g_cap, 0)
     all_i = jnp.arange(m)
-    glob_a = jnp.broadcast_to(all_i[None, :], (g_cap, m))
-    glob_b = jnp.broadcast_to(g_idx[:, None], (g_cap, m))
+    g_min = col.aabb_min[g_idx]
+    g_max = col.aabb_max[g_idx]
     g_aabb_overlap = jnp.all(
-        (col.aabb_min[g_idx][:, None, :] <= col.aabb_max[None, :, :])
-        & (col.aabb_min[None, :, :] <= col.aabb_max[g_idx][:, None, :]),
+        (g_min[:, None, :] <= col.aabb_max[None, :, :])
+        & (col.aabb_min[None, :, :] <= g_max[:, None, :]),
         axis=-1,
     )
     glob_ok = (
         g_valid[:, None]
         & col.active[None, :]
-        & (glob_a != glob_b)
+        & (g_idx[:, None] != all_i[None, :])
         # Avoid double-emitting global-global pairs.
-        & (~is_global[None, :] | (glob_a < glob_b))
+        & (~is_global[None, :] | (all_i[None, :] < g_idx[:, None]))
         & g_aabb_overlap
+        # Same elementwise filters as the grid sweep (the m side indexes
+        # by identity — no gathers).
+        & (body[g_idx][:, None] != body[None, :])
+        & ((col.layer_members[g_idx][:, None] & col.layer_filter[None, :]) > 0)
+        & ((col.layer_members[None, :] & col.layer_filter[g_idx][:, None]) > 0)
+        & (dyn[g_idx][:, None] | dyn[None, :])
     )
+    # Compact global pairs after the grid region: ONE i32 scatter of the
+    # packed candidate id g*m + j (16m sources, vs 3 scatters of 2.7M rows
+    # in the round-4 formulation), then unpack elementwise.
+    gl_flat = glob_ok.reshape(-1)
+    gl_ends = jnp.cumsum(gl_flat.astype(jnp.int32))
+    total_glob = gl_ends[-1]
+    gl_slot = jnp.where(gl_flat, total_grid + gl_ends - 1, c_cap)
+    gl_id = (
+        jnp.full((c_cap,), -1, jnp.int32)
+        .at[gl_slot]
+        .set(jnp.arange(g_cap * m, dtype=jnp.int32), mode="drop")
+    )
+    glob_got = gl_id >= 0
+    gl_id = jnp.maximum(gl_id, 0)
+    gb2 = g_idx[gl_id // m]
+    ga2 = gl_id % m
 
-    ca = jnp.concatenate([win_a.reshape(-1), glob_a.reshape(-1)])
-    cb = jnp.concatenate([win_b.reshape(-1), glob_b.reshape(-1)])
-    ok = jnp.concatenate([win_ok.reshape(-1), glob_ok.reshape(-1)])
+    # ---- assemble ---------------------------------------------------------
+    ca = jnp.where(grid_got, ga, jnp.where(glob_got, ga2, 0))
+    cb = jnp.where(grid_got, gb, jnp.where(glob_got, gb2, 0))
+    got = grid_got | glob_got
 
-    ok = ok & _pair_filters(world, ca, cb)
+    # Joint-disabled contacts, probed on the C compacted pairs (was: on
+    # every candidate row). O(C x J) elementwise; J is small.
+    j = world.joints
+    if j.capacity > 0:
+        jka = jnp.minimum(j.body_a, j.body_b)
+        jkb = jnp.maximum(j.body_a, j.body_b)
+        n_bodies = b.capacity
+        jkey = jnp.where(
+            j.active & j.collision_disabled, jka * n_bodies + jkb, -1
+        )
+        pba = body[ca]
+        pbb = body[cb]
+        pkey = (
+            jnp.minimum(pba, pbb) * n_bodies + jnp.maximum(pba, pbb)
+        )
+        joint_disabled = jnp.any(pkey[:, None] == jkey[None, :], axis=-1)
+        got = got & ~joint_disabled
 
     # Canonical order (a < b) and pair key. Canonical-cell emission already
     # dedupes grid pairs; the global pass cannot duplicate grid pairs
@@ -295,32 +445,22 @@ def broad_phase(world: World, config: PhysicsConfig) -> BroadPhaseResult:
         # ``lo * m + hi`` overflows i32: pair matching downstream uses
         # lexicographic (collider_a, collider_b) search instead, and
         # ``pair_key`` degrades to a validity marker (0 valid / -1 empty).
-        key = jnp.zeros_like(lo)
+        key = jnp.where(got, 0, -1)
     else:
-        key = lo * m + hi
+        key = jnp.where(got, lo * m + hi, -1)
 
-    # Deterministic compaction: exclusive prefix sum over validity gives
-    # each valid candidate its output slot (fixed traversal order).
-    slot_end = jnp.cumsum(ok.astype(jnp.int32))
-    total_valid = slot_end[-1]
-    slot = jnp.where(ok, slot_end - 1, c_cap)
-    a_f = jnp.zeros((c_cap,), jnp.int32).at[slot].set(
-        jnp.asarray(ca, jnp.int32), mode="drop"
-    )
-    b_f = jnp.zeros((c_cap,), jnp.int32).at[slot].set(
-        jnp.asarray(cb, jnp.int32), mode="drop"
-    )
-    key_f = jnp.full((c_cap,), -1, jnp.int32).at[slot].set(
-        key.astype(jnp.int32), mode="drop"
-    )
-    num = jnp.minimum(total_valid, c_cap)
-    valid = jnp.arange(c_cap) < num
+    total_valid = total_grid + total_glob
+    num = jnp.sum(got.astype(jnp.int32))
 
     return BroadPhaseResult(
-        collider_a=a_f,
-        collider_b=b_f,
-        pair_key=key_f,
-        valid=valid,
+        collider_a=jnp.where(got, ca, 0),
+        collider_b=jnp.where(got, cb, 0),
+        pair_key=key,
+        valid=got,
         num_pairs=num,
-        dropped=(total_valid - num) + window_overflow + global_overflow,
+        dropped=(
+            jnp.maximum(total_valid - c_cap, 0)
+            + window_overflow
+            + global_overflow
+        ),
     )

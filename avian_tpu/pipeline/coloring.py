@@ -69,8 +69,13 @@ def color_constraints(
     key = jnp.where(inc_ok, bodies2, n_bodies)
     order = jnp.argsort(key, stable=True)
     sorted_key = key[order]
-    starts = jnp.searchsorted(sorted_key, jnp.arange(n_bodies + 1))
-    rank = jnp.arange(2 * e) - starts[jnp.clip(sorted_key, 0, n_bodies)]
+    # Rank within each body's run via cummax run-start (searchsorted's
+    # binary search costs ~17 dependent gather rounds on this runtime).
+    idx2 = jnp.arange(2 * e)
+    new_run = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_key[1:] != sorted_key[:-1]]
+    )
+    rank = idx2 - jax.lax.cummax(jnp.where(new_run, idx2, 0))
     slot_ok = (rank < d) & (sorted_key < n_bodies)
     slot = jnp.clip(sorted_key, 0, n_bodies - 1) * d + rank
     table = jnp.full((n_bodies * d + 1,), sentinel, jnp.int32)

@@ -29,24 +29,6 @@ from avian_tpu.pipeline.broadphase import (
 )
 
 
-def _lex_searchsorted(lo_s, hi_s, qlo, qhi):
-    """``searchsorted`` over rows sorted lexicographically by ``(lo, hi)``:
-    the first index whose row is >= the query pair. Vectorized binary
-    search (fixed ``ceil(log2 n) + 1`` rounds of gathers)."""
-    n = lo_s.shape[0]
-    left = jnp.zeros(qlo.shape, jnp.int32)
-    right = jnp.full(qlo.shape, n, jnp.int32)
-    steps = max(1, (max(n, 2) - 1).bit_length() + 1)
-    for _ in range(steps):
-        mid = (left + right) // 2
-        midc = jnp.clip(mid, 0, n - 1)
-        less = (lo_s[midc] < qlo) | ((lo_s[midc] == qlo) & (hi_s[midc] < qhi))
-        less = less & (mid < n)
-        left = jnp.where(less, mid + 1, left)
-        right = jnp.where(less, right, mid)
-    return left
-
-
 def _combine(val_a, val_b, rule_a, rule_b):
     """CoefficientCombine with higher-priority rule winning
     (``physics_material.rs:13-46``)."""
@@ -149,34 +131,60 @@ def narrow_phase(
     anchor_b = p_b - com_b[:, None, :]
 
     # ---- pair-level persistence (warm-start carry) ----------------------
-    # Find each new pair's slot in the old buffer via sorted-key search.
-    # Beyond KEY_M_MAX colliders the packed i32 key is not injective, so
-    # the search goes lexicographic over canonical (lo, hi) collider ids.
+    # Sort-merge join (round 5): ONE stable sort of [old keys ++ new keys]
+    # answers BOTH directions — each new pair's old slot (old entry sorts
+    # immediately before its equal new key: stable sort keeps old-first)
+    # and each old pair's survival (a new entry follows it). This replaces
+    # two ~17-round searchsorted binary-search chains: on this runtime
+    # every dependent gather round costs ~0.25-0.5 ms regardless of size
+    # (BASELINE.md round-5 cost model), so a 4-memop merge beats a
+    # 34-round search by ~10 ms/step. Beyond KEY_M_MAX colliders the
+    # packed i32 key is not injective, so keys go lexicographic (lo, hi).
     if world.colliders.capacity > KEY_M_MAX:
         sent = jnp.iinfo(jnp.int32).max
         old_lo = jnp.minimum(old.collider_a, old.collider_b)
         old_hi = jnp.maximum(old.collider_a, old.collider_b)
         old_lo = jnp.where(old.active, old_lo, sent)
         old_hi = jnp.where(old.active, old_hi, sent)
-        new_lo = jnp.minimum(ca, cb)
-        new_hi = jnp.maximum(ca, cb)
-        old_order = jnp.lexsort((old_hi, old_lo)).astype(jnp.int32)
-        loc = _lex_searchsorted(
-            old_lo[old_order], old_hi[old_order], new_lo, new_hi
+        new_lo = jnp.where(bp.valid, jnp.minimum(ca, cb), sent)
+        new_hi = jnp.where(bp.valid, jnp.maximum(ca, cb), sent)
+        lo_all = jnp.concatenate([old_lo, new_lo])
+        hi_all = jnp.concatenate([old_hi, new_hi])
+        # lexsort is stable, so old entries (first half) precede new ones
+        # with equal (lo, hi); invalid keys are the +inf sentinel.
+        s = jnp.lexsort((jnp.arange(2 * c_cap), hi_all, lo_all)).astype(
+            jnp.int32
         )
-        old_slot = old_order[jnp.clip(loc, 0, c_cap - 1)]
-        matched = (
-            (old_lo[old_slot] == new_lo)
-            & (old_hi[old_slot] == new_hi)
-            & bp.valid
+        ks_lo = lo_all[s]
+        ks_hi = hi_all[s]
+        key_ok = ks_lo != sent
+        same_prev = jnp.concatenate(
+            [
+                jnp.zeros((1,), bool),
+                (ks_lo[1:] == ks_lo[:-1]) & (ks_hi[1:] == ks_hi[:-1]),
+            ]
         )
     else:
-        old_order = jnp.argsort(old.pair_key)
-        old_keys_sorted = old.pair_key[old_order]
-        loc = jnp.searchsorted(old_keys_sorted, bp.pair_key)
-        loc = jnp.clip(loc, 0, c_cap - 1)
-        old_slot = old_order[loc]
-        matched = (old.pair_key[old_slot] == bp.pair_key) & (bp.pair_key >= 0)
+        karr = jnp.concatenate([old.pair_key, bp.pair_key])
+        s = jnp.argsort(karr, stable=True).astype(jnp.int32)
+        ks = karr[s]
+        key_ok = ks >= 0
+        same_prev = jnp.concatenate(
+            [jnp.zeros((1,), bool), ks[1:] == ks[:-1]]
+        )
+    tag_s = s >= c_cap            # True = new entry
+    src_s = jnp.where(tag_s, s - c_cap, s)
+    prev_old = jnp.concatenate([jnp.zeros((1,), bool), ~tag_s[:-1]])
+    m_new = tag_s & same_prev & prev_old & key_ok
+    prev_src = jnp.concatenate([jnp.zeros((1,), jnp.int32), src_s[:-1]])
+    # Scatter (old_slot + 1) back to new-pair order; 0 = unmatched.
+    hit = (
+        jnp.zeros((c_cap,), jnp.int32)
+        .at[jnp.where(tag_s, src_s, c_cap)]
+        .set(jnp.where(m_new, prev_src + 1, 0), mode="drop")
+    )
+    matched = hit > 0
+    old_slot = jnp.maximum(hit - 1, 0)
 
     was_touching = jnp.where(matched, old.touching[old_slot], False)
     carried_color = jnp.where(matched, old.color[old_slot], -1)
@@ -248,27 +256,20 @@ def narrow_phase(
     # ---- CollisionEnd on eviction (collision_events.rs:256) -------------
     # Old pairs that were touching but got no slot this step (AABBs
     # separated -> broadphase emitted nothing) would otherwise silently
-    # never fire their end event. Reverse-match old keys against the new
-    # key set; the survivors' complement is this step's eviction list.
-    big = jnp.iinfo(jnp.int32).max
-    if world.colliders.capacity > KEY_M_MAX:
-        nlo = jnp.where(bp.valid, jnp.minimum(ca, cb), big)
-        nhi = jnp.where(bp.valid, jnp.maximum(ca, cb), big)
-        order_n = jnp.lexsort((nhi, nlo)).astype(jnp.int32)
-        nlo_s, nhi_s = nlo[order_n], nhi[order_n]
-        olo = jnp.minimum(old.collider_a, old.collider_b)
-        ohi = jnp.maximum(old.collider_a, old.collider_b)
-        loc_e = jnp.clip(
-            _lex_searchsorted(nlo_s, nhi_s, olo, ohi), 0, c_cap - 1
-        )
-        still_tracked = (nlo_s[loc_e] == olo) & (nhi_s[loc_e] == ohi)
-    else:
-        new_keys_sorted = jnp.sort(jnp.where(bp.valid, bp.pair_key, big))
-        loc_e = jnp.clip(
-            jnp.searchsorted(new_keys_sorted, old.pair_key), 0, c_cap - 1
-        )
-        still_tracked = new_keys_sorted[loc_e] == old.pair_key
-    evicted = old.active & old.touching & ~still_tracked
+    # never fire their end event. The eviction reverse-match rides the
+    # SAME sorted array as the persistence join above: an old entry is
+    # still tracked iff the entry after it is a new entry with the same
+    # key (stable sort: old precedes its equal new key). One extra
+    # scatter; zero extra sorts or search rounds.
+    next_same = jnp.concatenate([same_prev[1:], jnp.zeros((1,), bool)])
+    next_new = jnp.concatenate([tag_s[1:], jnp.zeros((1,), bool)])
+    m_old_survives = ~tag_s & next_same & next_new & key_ok
+    survives = (
+        jnp.zeros((c_cap,), bool)
+        .at[jnp.where(~tag_s, src_s, c_cap)]
+        .set(m_old_survives, mode="drop")
+    )
+    evicted = old.active & old.touching & ~survives
     evicted_contact_id = jnp.where(evicted, old.contact_id, 0)
     evicted_body_a = jnp.where(evicted, old.body_a, 0)
     evicted_body_b = jnp.where(evicted, old.body_b, 0)

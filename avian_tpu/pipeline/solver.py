@@ -133,9 +133,15 @@ def _bucketize(color, active_mask, num_colors, cap):
     key = jnp.where(active_mask, color, num_colors)
     order = jnp.argsort(key, stable=True)
     sorted_key = key[order]
-    # Rank of each sorted element within its color run.
-    starts = jnp.searchsorted(sorted_key, jnp.arange(num_colors + 1))
-    rank = jnp.arange(c) - starts[jnp.clip(sorted_key, 0, num_colors)]
+    # Rank within the color run via cummax run-start (NOT searchsorted:
+    # its binary search is ~17 dependent gather rounds ~= 5 ms/step on
+    # this runtime; cummax is one op).
+    idx = jnp.arange(c)
+    new_run = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_key[1:] != sorted_key[:-1]]
+    )
+    run_start = jax.lax.cummax(jnp.where(new_run, idx, 0))
+    rank = idx - run_start
     in_cap = (rank < cap) & (sorted_key < num_colors)
     slot = jnp.clip(sorted_key, 0, num_colors - 1) * cap + rank
     slot = jnp.where(in_cap, slot, num_colors * cap)  # dropped -> sentinel
@@ -393,10 +399,11 @@ def warm_start(s: SolverState, con: ContactConstraints, config) -> SolverState:
     d_b = jnp.concatenate([p_sum * d[:, _IMB:_IMB + 3], ang_b], -1)
 
     vw = _pack_vw(s)
-    vw = (
-        vw.at[con.bucket_a.reshape(-1)].add(d_a)
-        .at[con.bucket_b.reshape(-1)].add(d_b)
-    )
+    # ONE fused scatter-add over both sides: on this runtime each dependent
+    # memory op costs ~0.25 ms regardless of size (tools/micro_bench.py), so
+    # halving the op count halves the pass.
+    ab = jnp.concatenate([con.bucket_a.reshape(-1), con.bucket_b.reshape(-1)])
+    vw = vw.at[ab].add(jnp.concatenate([d_a, d_b], axis=0))
     return _unpack_vw(s, vw)
 
 
@@ -446,9 +453,17 @@ def _solve_bucket(state, d, irows, a, b, relax, h, use_bias,
     """Solve one color bucket: 4 normal points sequentially, then friction —
     the reference's per-constraint point loops (``contact/mod.rs:267-354``),
     vectorized across the bucket. Bucket validity is baked into the point
-    masks at prepare time."""
-    sa = state[a]
-    sb = state[b]
+    masks at prepare time.
+
+    Memop discipline: ONE gather and ONE scatter-add per color round (both
+    sides concatenated). Dependent gather/scatter latency (~0.25 ms/op on
+    this runtime, tools/micro_bench.py) dominates the substep loop, so the
+    round's memop count — not its element count — is the cost."""
+    cap = a.shape[0]
+    ab = jnp.concatenate([a, b])
+    sab = state[ab]
+    sa = sab[:cap]
+    sb = sab[cap:]
     va, wa = sa[:, 0:3], sa[:, 3:6]
     vb, wb = sb[:, 0:3], sb[:, 3:6]
     dq_a = sa[:, 9:13]
@@ -564,10 +579,14 @@ def _solve_bucket(state, d, irows, a, b, relax, h, use_bias,
     )
 
     z7 = jnp.zeros((d_va.shape[0], 7), jnp.float32)
-    state = (
-        state.at[a].add(jnp.concatenate([d_va, d_wa, z7], -1))
-        .at[b].add(jnp.concatenate([d_vb, d_wb, z7], -1))
+    delta = jnp.concatenate(
+        [
+            jnp.concatenate([d_va, d_wa, z7], -1),
+            jnp.concatenate([d_vb, d_wb, z7], -1),
+        ],
+        axis=0,
     )
+    state = state.at[ab].add(delta)
     return state, new_irows
 
 
@@ -597,8 +616,11 @@ def solve_restitution(
 def _restitution_bucket(vw, d, irows, a, b, relax, threshold):
     vmask = (d[:, _RESTITUTION] > 0.0).astype(jnp.float32)
 
-    vwa = vw[a]
-    vwb = vw[b]
+    cap = a.shape[0]
+    ab = jnp.concatenate([a, b])
+    vwab = vw[ab]
+    vwa = vwab[:cap]
+    vwb = vwab[cap:]
     va, wa = vwa[:, 0:3], vwa[:, 3:6]
     vb, wb = vwb[:, 0:3], vwb[:, 3:6]
     n = d[:, _N:_N + 3]
@@ -647,9 +669,14 @@ def _restitution_bucket(vw, d, irows, a, b, relax, threshold):
         ],
         axis=-1,
     )
-    vw = (
-        vw.at[a].add(jnp.concatenate([d_va, d_wa], -1))
-        .at[b].add(jnp.concatenate([d_vb, d_wb], -1))
+    vw = vw.at[ab].add(
+        jnp.concatenate(
+            [
+                jnp.concatenate([d_va, d_wa], -1),
+                jnp.concatenate([d_vb, d_wb], -1),
+            ],
+            axis=0,
+        )
     )
     return vw, new_irows
 

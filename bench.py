@@ -29,7 +29,15 @@ Scenes (BENCH_SCENE): pile (default, 3D cube pile, BENCH_CUBES),
 pyramid2d (reference Large Pyramid 2D, base 100 -> 5050 boxes),
 pyramid3d (reference Large Pyramid 3D, benches/src/dim3/mod.rs:17-24),
 many_pyramids (10x10 grid of base-10 pyramids -> 5500 boxes),
-many_pyramids3d (3D variant).
+many_pyramids3d (3D variant),
+batched (north-star RL metric, BASELINE.json config 5: BENCH_BATCH=4096
+domain-randomized small scenes vmapped on one chip; reports
+env*steps/sec alongside body*steps/sec).
+
+Round-5 hardening: slopes are median-of-3 (spread reported), capacity
+counters (dropped pairs / bucket overflow) are carried through the timed
+scan as running maxima so TRANSIENT overflow at impact is caught, not
+just the final state's.
 """
 
 import json
@@ -105,23 +113,52 @@ def run_benchmark():
         else:
             world, ids = scenes2d.many_pyramids_2d(grid=grid, base=10)
         n_bodies = len(ids)
-        step = jax.jit(lambda w: physics_step_2d(w, config))
-        from avian_tpu.dim2 import broadphase as bp2_m
-        from avian_tpu.dim2 import contacts as np2_m
-        from avian_tpu.dim2 import dynamics as dyn2_m
-        from avian_tpu.dim2 import solver as sol2_m
 
-        @jax.jit
-        def check(w):
-            w = bp2_m.update_aabbs(w, config)
-            bp = bp2_m.broad_phase(w, config)
-            contacts = np2_m.narrow_phase(w, bp, config)
-            con = sol2_m.prepare_constraints(
-                w, contacts, dyn2_m.prepare(w.bodies), config
+        def step_diag_2d(w):
+            w2, diag = physics_step_2d(w, config, return_diagnostics=True)
+            return w2, (
+                diag["dropped_pairs"],
+                diag["overflow_dropped"],
+                diag["num_overflow"],
             )
-            return bp.dropped, con.overflow_dropped, con.num_overflow
 
-        return _run_timed(step, check, world, n_bodies, scene, n_steps, warmup)
+        return _run_timed(
+            step_diag_2d, world, n_bodies, scene, n_steps, warmup
+        )
+    if scene == "batched":
+        # North-star batched metric (BASELINE.json config 5): B
+        # domain-randomized small piles stepped in lockstep under vmap.
+        import jax.numpy as jnp
+
+        batch = int(os.environ.get("BENCH_BATCH", "4096"))
+        per = int(os.environ.get("BENCH_BATCH_CUBES", "27"))
+        from avian_tpu.parallel import replicate_world
+
+        config = PhysicsConfig(substeps=4, max_colors=4, sap_window=8,
+                               shape_pairs=config.shape_pairs)
+        world, _ = cube_pile(n_cubes=per, max_contacts=8 * per)
+        batched = replicate_world(world, batch)
+        # Domain randomization: per-scene gravity jitter.
+        key = jax.random.PRNGKey(0)
+        gj = 1.0 + 0.1 * jax.random.normal(key, (batch,))
+        batched = batched.replace(gravity=batched.gravity * gj[:, None])
+        n_bodies = batch * per
+
+        def step_diag_batched(w):
+            w2, diag = jax.vmap(
+                lambda s: physics_step(s, config, return_diagnostics=True)
+            )(w)
+            return w2, (
+                jnp.max(diag["dropped_pairs"]),
+                jnp.max(diag["overflow_dropped"]),
+                jnp.max(diag["num_overflow"]),
+            )
+
+        return _run_timed(
+            step_diag_batched, batched, n_bodies, scene, n_steps, warmup,
+            metric=f"body_steps_per_sec_batched_{batch}x{per}",
+            n_envs=batch,
+        )
     if scene == "pyramid2d":
         from avian_tpu.scenes import box_pyramid
 
@@ -146,26 +183,16 @@ def run_benchmark():
         world, ids = cube_pile(n_cubes=n_cubes, max_contacts=8 * n_cubes)
         n_bodies = n_cubes
 
-    step = jax.jit(lambda w: physics_step(w, config))
-
-    # Validate capacities: no silently dropped broadphase pairs and no
-    # constraints dropped from the color buckets (cheap separate check —
-    # detection + prepare only — to avoid recompiling the full step with
-    # diagnostics).
-    from avian_tpu.pipeline import broadphase as bp_m
-    from avian_tpu.pipeline import contacts as np_m
-    from avian_tpu.pipeline import solver as sol_m
-    from avian_tpu.pipeline import solver_body as sb_m
-
-    @jax.jit
-    def check(w):
-        w = bp_m.update_aabbs(w, config)
-        bp = bp_m.broad_phase(w, config)
-        contacts = np_m.narrow_phase(w, bp, config)
-        con = sol_m.prepare_constraints(
-            w, contacts, sb_m.prepare(w.bodies), config
+    def step_diag(w):
+        # Diagnostics ride the scan carry as running maxima, so TRANSIENT
+        # capacity overflow (dropped pairs at impact, recovered by settle)
+        # fails the run. Unused diagnostic entries are DCE'd by XLA.
+        w2, diag = physics_step(w, config, return_diagnostics=True)
+        return w2, (
+            diag["dropped_pairs"],
+            diag["overflow_dropped"],
+            diag["num_overflow"],
         )
-        return bp.dropped, con.overflow_dropped, con.num_overflow
 
     metric = (
         f"body_steps_per_sec_{scene}_{n_bodies}"
@@ -173,13 +200,13 @@ def run_benchmark():
         else f"body_steps_per_sec_cube_pile_{n_cubes}"
     )
     return _run_timed(
-        step, check, world, n_bodies, scene, n_steps, warmup, metric
+        step_diag, world, n_bodies, scene, n_steps, warmup, metric
     )
 
 
-def _run_timed(step, check, world, n_bodies, scene, n_steps, warmup,
-               metric=None):
-    """Forced-D2H slope timing (round-4 protocol).
+def _run_timed(step_diag, world, n_bodies, scene, n_steps, warmup,
+               metric=None, n_envs=None):
+    """Forced-D2H slope timing (round-4 protocol, round-5 hardening).
 
     ``jax.block_until_ready`` does NOT reliably block on the tunneled
     axon runtime — dispatch-loop timings bounded by it measure enqueue
@@ -195,18 +222,35 @@ def _run_timed(step, check, world, n_bodies, scene, n_steps, warmup,
     3. Time each scan with a trailing scalar read; per-step time =
        (t(K2) - t(K1)) / (K2 - K1). The slope cancels the dispatch
        constant and the D2H cost.
+    4. Median-of-3 slopes (round 5): one scheduler hiccup cannot flip the
+       number; the (max-min) spread is published with it.
+
+    ``step_diag``: ``w -> (w', (dropped, overflow_dropped, num_overflow))``.
+    The three capacity counters are carried through the scan as running
+    maxima, so a transient overflow mid-run fails the bench loudly.
     """
     import jax
+    import jax.numpy as jnp
 
-    k1 = max(2, n_steps // 8)
+    # Guard tiny n_steps (k2 must exceed k1 for a slope).
+    k1 = max(1, min(n_steps - 1, n_steps // 8))
     k2 = n_steps
+    assert k2 > k1, f"BENCH_STEPS={n_steps} too small for slope timing"
 
     def scan_of(k):
         @jax.jit
         def many(w):
-            return jax.lax.scan(
-                lambda w_, _: (step(w_), None), w, None, length=k
-            )[0]
+            def body(carry, _):
+                w_, dm, om, nm = carry
+                w2, (d, o, n) = step_diag(w_)
+                return (
+                    w2,
+                    jnp.maximum(dm, d),
+                    jnp.maximum(om, o),
+                    jnp.maximum(nm, n),
+                ), None
+            z = jnp.zeros((), jnp.int32)
+            return jax.lax.scan(body, (w, z, z, z), None, length=k)[0]
         return many
 
     settle = scan_of(warmup)
@@ -217,25 +261,35 @@ def _run_timed(step, check, world, n_bodies, scene, n_steps, warmup,
     # steady state, not free fall (the reference bench protocol also
     # measures the settled pile). The read doubles as the deliberate
     # entry into degraded-dispatch mode.
-    world = settle(world)
+    world, settle_drop, settle_od, _ = settle(world)
     t_settled = world.time
-    _ = float(world.bodies.pos[0, 0])
+    _ = float(jnp.ravel(world.bodies.pos)[0])
 
     def forced(fn, w):
         t0 = time.perf_counter()
-        out = fn(w)
-        _ = float(out.bodies.pos[0, 0])  # D2H: proves execution
-        return time.perf_counter() - t0, out
+        out, dm, om, nm = fn(w)
+        _ = float(jnp.ravel(out.bodies.pos)[0])  # D2H: proves execution
+        return time.perf_counter() - t0, (out, dm, om, nm)
 
     _phase("warmup")
     forced(run1, world)  # compile + autotune warm-through
     forced(run2, world)
     _phase("timing")
-    t1, _w1 = forced(run1, world)
-    t2, w2 = forced(run2, world)
-    elapsed = t2 - t1
-    measured_steps = k2 - k1
-    assert elapsed > 0, f"non-positive slope: t1={t1:.3f}s t2={t2:.3f}s"
+    slopes = []
+    out2 = None
+    for rep in range(3):
+        t1, _r1 = forced(run1, world)
+        t2, out2 = forced(run2, world)
+        elapsed = t2 - t1
+        assert elapsed > 0, (
+            f"non-positive slope (rep {rep}): t1={t1:.3f}s t2={t2:.3f}s"
+        )
+        slopes.append(elapsed / (k2 - k1))
+        _phase(f"timing rep {rep} done")
+    slopes.sort()
+    per_step = slopes[1]  # median of 3
+    spread = slopes[2] - slopes[0]
+    w2, run_dropped, run_od, run_nov = out2
 
     # Sanity: the simulation must actually have advanced and stayed finite
     # (guards against degenerate executables from remote-compile flakes).
@@ -247,31 +301,33 @@ def _run_timed(step, check, world, n_bodies, scene, n_steps, warmup,
     )
     assert bool(np.isfinite(np.asarray(w2.bodies.pos)).all()), "NaN state"
 
-    dropped, overflow_dropped, num_overflow = (int(x) for x in check(w2))
+    # Capacity counters: max over EVERY step of settle + the timed scans.
+    dropped = max(int(settle_drop), int(run_dropped))
+    overflow_dropped = max(int(settle_od), int(run_od))
+    num_overflow = int(run_nov)
     assert overflow_dropped == 0, (
         f"{overflow_dropped} constraints dropped from color buckets"
     )
     assert dropped == 0, f"{dropped} broadphase pairs dropped"
 
-    steps_per_sec = measured_steps / elapsed
+    steps_per_sec = 1.0 / per_step
     body_steps_per_sec = steps_per_sec * n_bodies
-    print(
-        json.dumps(
-            {
-                "metric": metric or f"body_steps_per_sec_{scene}_{n_bodies}",
-                "value": round(body_steps_per_sec),
-                "unit": "body*steps/sec",
-                "vs_baseline": round(
-                    body_steps_per_sec / BASELINE_BODY_STEPS_PER_SEC, 3
-                ),
-                "ms_per_step": round(1000.0 * elapsed / measured_steps, 3),
-                "dropped_pairs": dropped,
-                "overflow_constraints": num_overflow,
-                "device": str(jax.devices()[0]),
-            }
+    record = {
+        "metric": metric or f"body_steps_per_sec_{scene}_{n_bodies}",
+        "value": round(body_steps_per_sec),
+        "unit": "body*steps/sec",
+        "vs_baseline": round(
+            body_steps_per_sec / BASELINE_BODY_STEPS_PER_SEC, 3
         ),
-        flush=True,
-    )
+        "ms_per_step": round(1000.0 * per_step, 3),
+        "ms_per_step_spread": round(1000.0 * spread, 3),
+        "dropped_pairs": dropped,
+        "overflow_constraints": num_overflow,
+        "device": str(jax.devices()[0]),
+    }
+    if n_envs is not None:
+        record["env_steps_per_sec"] = round(steps_per_sec * n_envs)
+    print(json.dumps(record), flush=True)
 
 
 # --------------------------------------------------------------------------
